@@ -1,0 +1,108 @@
+"""SparkSession factory.
+
+Pins the semantics the whole engine assumes:
+
+* UTC session timezone — the reference evaluates everything in UTC
+  (ref: common/src/main/java/com/ververica/platform/Utils.java:19,
+  ``EVALUATION_ZONE = ZoneId.of("UTC")``) and the DuckDB oracle compares
+  naive-UTC timestamps.
+* AQE on — runtime coalescing / skew-join handling stands in for the
+  hand-tuned parallelism of the reference's Flink jobs.
+* Arrow on — every Python-side operator in this package that cannot be a
+  built-in expression uses Arrow-vectorized pandas UDFs.
+
+At 100 TB scale the same builder works unchanged on a real cluster: the
+only local-mode-specific knobs (master, shuffle partitions) come from the
+environment and default to cluster-appropriate behavior when unset.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def get_spark(
+    app_name: str = "lab-flink-repository-analytics-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster leave it unset and submit with ``--master``.
+    ``shuffle_partitions`` should be ~2-3x total cores on a cluster; for
+    local mode it defaults to the core count.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if master is None:
+        master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # the driver's events.parquet carries TIMESTAMP(NANOS) which Spark
+        # rejects by default; read as long (ns) and convert in load_tables
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if master.startswith("local"):
+        builder = builder.master(master)
+        # local mode: one JVM; driver memory is the only memory knob.
+        mem = os.environ.get("SPARK_DRIVER_MEMORY")
+        if mem:
+            builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
+    """Register the driver's parquet tables as temp views and return them.
+
+    Tables: region nation customer supplier part orders lineitem events
+    documents embeddings (TESTDATA.md).  Reading is lazy; Catalyst pushes
+    filters/column pruning into the parquet scans.
+    """
+    names = [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    out = {}
+    for name in names:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        for field in df.schema.fields:
+            # nanos timestamps arrive as LongType under nanosAsLong; restore
+            # them to proper timestamps (truncate ns → µs with integer div,
+            # matching DuckDB's own ns → µs truncation of the same files)
+            if field.name in _NANOS_TS_COLS.get(name, ()):
+                df = df.withColumn(
+                    field.name,
+                    F.timestamp_micros(F.expr(f"{field.name} div 1000")),
+                )
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+#: columns stored as TIMESTAMP(NANOS) in the driver's parquet
+_NANOS_TS_COLS = {"events": ("ts",)}
