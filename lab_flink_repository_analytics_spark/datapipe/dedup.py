@@ -1,0 +1,228 @@
+"""Deduplication operators: exact, MinHash(+LSH), SimHash, n-gram Jaccard.
+
+Scale design (the point of these at 100 TB):
+
+* **exact** — one hash-groupBy shuffle on the 32-hex fingerprint; map-side
+  partial aggregation keeps shuffle volume ∝ distinct docs.
+* **MinHash + LSH** — signatures are per-row expressions (no shuffle);
+  candidate generation explodes each doc into ``n_bands`` band keys and
+  self-joins on the band key, so the join is hash-partitioned by band
+  bucket and never all-pairs.  Verification (exact Jaccard) runs only on
+  candidates.
+* **SimHash** — per-row 32-bit signature; near-dup = same signature (or
+  banded by signature prefix).
+* **n-gram Jaccard** — exact verification metric; only ever applied to a
+  blocked/candidate pair set, never the full cross product.
+
+All hashing is md5-derived (``conv(substr(md5(x),1,8),16,10)``) so the
+DuckDB oracle reproduces every signature bit-for-bit — no engine-private
+hash functions in results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lab_flink_repository_analytics_spark.datapipe.text import tokens
+
+# Fixed MinHash permutation parameters (a*h + b) mod P.  Literals, not
+# runtime-random: signatures must be stable across runs and engines.
+# P is the smallest prime > 2^32; a < 2^20 keeps a*h < 2^52 (no overflow).
+MINHASH_A = [387143, 204881, 944207, 550057, 109297, 731611, 86293, 655379]
+MINHASH_B = [95789, 41999, 779377, 317963, 212869, 127807, 509389, 683843]
+MINHASH_P = 4294967311
+N_PERMS = len(MINHASH_A)
+LSH_BANDS = 4  # 4 bands x 2 rows over the 8-perm signature
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def md5_hash32(col: Column) -> Column:
+    """Portable 32-bit hash: first 8 hex chars of md5 as a BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def exact_fingerprint(text: Column | str) -> Column:
+    """Full md5 — the exact-dedup key."""
+    return F.md5(_c(text))
+
+
+def exact_dedup_summary(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group by content hash: keeper id (min) + copy count per fingerprint."""
+    return (
+        docs.groupBy(exact_fingerprint(text_col).alias("fp"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("copies"),
+        )
+    )
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles; whole text when shorter than k tokens."""
+    toks = tokens(text)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(n >= k, grams).otherwise(F.array(_c(text)))
+    )
+
+
+def minhash_signature(text: Column | str, k: int = 3) -> Column:
+    """ARRAY<BIGINT> MinHash signature (N_PERMS mins over shingle hashes).
+
+    Expression form — convenient for single-column use; for table-scale
+    signature computation prefer :func:`minhash_signatures_df`, whose
+    explode→codegen→groupBy plan is ~10× faster (higher-order-function
+    lambdas are interpreted per element and the shared shingle-hash array
+    is *not* CSE'd across the permutations here).
+    """
+    sh = shingles(text, k)
+    hashes = F.transform(sh, md5_hash32)
+    mins = [
+        F.array_min(
+            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))
+        )
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    ]
+    return F.array(*mins)
+
+
+def minhash_signatures_df(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Table-scale MinHash: one row per doc with ``sig ARRAY<BIGINT>``.
+
+    Plan shape for 100 TB: explode shingles (pipelined, no shuffle), hash
+    them as flat codegen'd expressions, then a single hash-aggregation
+    computes all N_PERMS mins with map-side partials — shuffle volume is
+    N_PERMS longs per doc regardless of document size.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s")
+    )
+    h = sh.select("id", md5_hash32(F.col("s")).alias("h"))
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    agg = h.groupBy("id").agg(*mins)
+    return agg.select(
+        F.col("id").alias(id_col),
+        F.array(*[F.col(f"m{i}") for i in range(N_PERMS)]).alias("sig"),
+    )
+
+
+def minhash_band_keys(sig: Column) -> Column:
+    """ARRAY<STRING> of LSH band keys: band index + its signature slice."""
+    rows_per_band = N_PERMS // LSH_BANDS
+    keys = []
+    for b in range(LSH_BANDS):
+        parts = [F.lit(str(b))] + [
+            F.element_at(sig, b * rows_per_band + r + 1).cast("string")
+            for r in range(rows_per_band)
+        ]
+        keys.append(F.concat_ws(":", *parts))
+    return F.array(*keys)
+
+
+def near_dup_candidates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash-LSH banding.
+
+    Plan: per-row signature → explode band keys → self-join on band key
+    (shuffle hash-partitioned by bucket) → distinct pairs.  Never computes
+    the full cross product; skew-prone giant buckets are handled by AQE
+    skew-join at runtime.
+    """
+    sigs = minhash_signatures_df(docs, text_col, id_col, k).select(
+        F.col(id_col).alias("id"), "sig"
+    )
+    banded = sigs.select(
+        "id", F.explode(minhash_band_keys(F.col("sig"))).alias("band_key")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, on="band_key")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash32(text: Column | str, k: int = 1) -> Column:
+    """32-bit SimHash over (k-)shingle hashes, as BIGINT.
+
+    bit_i(simhash) = majority sign of sum over shingles of ±1 depending on
+    bit_i of the shingle hash (>0 → 1, ties → 0).
+    """
+    sh = shingles(text, k) if k > 1 else F.array_distinct(tokens(text))
+    hashes = F.transform(sh, md5_hash32)
+    def _bit_step(i: int):
+        # nb: plain two-arg lambda — extra defaulted params would be seen
+        # as lambda variables by PySpark's arity inspection
+        return lambda acc, h: acc + F.when(
+            (F.shiftright(h, i) % 2) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    out = F.lit(0).cast("bigint")
+    for i in range(32):
+        bit_sum = F.aggregate(hashes, F.lit(0).cast("bigint"), _bit_step(i))
+        out = out + F.when(bit_sum > 0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return out
+
+
+def jaccard_tokens(a: Column | str, b: Column | str) -> Column:
+    """Exact Jaccard similarity of the distinct-token sets of two texts."""
+    ta, tb = F.array_distinct(tokens(a)), F.array_distinct(tokens(b))
+    inter = F.size(F.array_intersect(ta, tb))
+    union = F.size(F.array_union(ta, tb))
+    return inter.cast("double") / union
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    block_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact token-Jaccard for every doc pair within a blocking key.
+
+    Blocking keeps this quadratic only inside each block — callers choose
+    block columns so blocks stay small (or feed LSH candidates instead).
+    """
+    # tokenize once per doc BEFORE the self-join — token arrays are computed
+    # O(docs) times instead of O(pairs) times
+    sel = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens(text_col)).alias("toks"),
+        *block_cols,
+    )
+    left, right = sel.alias("l"), sel.alias("r")
+    cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols] + [
+        F.col("l.id") < F.col("r.id")
+    ]
+    joined = left.join(right, on=cond)
+    inter = F.size(F.array_intersect(F.col("l.toks"), F.col("r.toks")))
+    union = F.size(F.array_union(F.col("l.toks"), F.col("r.toks")))
+    return (
+        joined.select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

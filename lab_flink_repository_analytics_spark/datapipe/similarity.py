@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k — a broadcast join of the (small) query
+set against the candidate table, scored with a JVM-side fold (no Python),
+ranked per query.  Scale path: random-hyperplane LSH bucketing — candidates
+are hash-partitioned by bucket so each query only scans its bucket, the
+standard IVF/LSH trade-off.
+
+All float math is double-precision with a fixed left-to-right fold order so
+the DuckDB oracle can reproduce scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Σ a_i·b_i as a left-to-right double fold (deterministic order)."""
+    prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    ``queries`` is expected to be small — Spark broadcasts it, so the scan
+    of ``candidates`` is a single pass with no shuffle of the big side;
+    ranking shuffles only (query × k-ish) rows.  Self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine("qv", "cv").alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("score", 6).alias("cos_sim"),
+        )
+    )
+
+
+# Fixed hyperplane seed constants for LSH bucketing (engine-portable:
+# pseudo-random ±1 hyperplanes derived from (bit, dim) via a hash-free
+# affine rule — stable literals, reproducible in SQL).
+LSH_NBITS = 8
+
+
+def _hyperplane_sign(bit: int, dim_index: Column) -> Column:
+    """Deterministic ±1 component of hyperplane ``bit`` at dimension i.
+
+    Uses a small affine congruence (no engine hash): sign = +1 iff
+    (i*(2*bit+3) + bit*7) mod 4 < 2.  Crude but fixed and portable; LSH
+    quality only needs the planes to be ~uncorrelated.
+    """
+    v = (dim_index * (2 * bit + 3) + bit * 7) % 4
+    return F.when(v < 2, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def lsh_bucket(vec: Column | str, nbits: int = LSH_NBITS) -> Column:
+    """Random-hyperplane LSH bucket id (0..2^nbits-1) for a vector."""
+    v = _c(vec)
+    idx = F.sequence(F.lit(0), F.size(v) - 1)
+    bits = []
+    for b in range(nbits):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                idx,
+                lambda x, i: x.cast("double") * _hyperplane_sign(b, i),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out + bcol
+    return out.cast("int")
+
+
+def lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    nbits: int = LSH_NBITS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only candidates in the query's LSH bucket.
+
+    At scale the candidate side is pre-bucketed (partitioned/bucketed table
+    on ``bucket``), so a query touches 1/2^nbits of the data.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_bucket(vec_col, nbits).alias("bucket"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_bucket(vec_col, nbits).alias("bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine("qv", "cv").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("score", 6).alias("cos_sim"),
+        )
+    )

@@ -1,0 +1,871 @@
+"""Driver-gradeable query inventory.
+
+Every entry pairs a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+with an equivalent ANSI-SQL DuckDB oracle over the same parquet tables
+(pre-registered views: region nation customer supplier part orders lineitem
+events documents embeddings).  Column names/aliases are identical on both
+sides — the driver sorts columns by name before value-hashing.
+
+Float policy (so value-hashes match): every aggregated money/measure sum
+goes through DECIMAL(18,6) (exact, order-independent) and is cast to DOUBLE
+at the end; per-row double arithmetic uses identical operand order on both
+sides; cosine scores are rounded to 6 decimals.
+
+Domain-parity entries (commit_activity, jira_tickets, aliases_company)
+synthesize reference-shaped rows (commits / Jira emails / people) from the
+driver tables with deterministic expressions, then run the *real* engine
+pipeline (regex library + windows) over them; the oracle rebuilds the same
+rows in SQL and checks end-to-end equality.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lab_flink_repository_analytics_spark.datapipe import dedup as DD
+from lab_flink_repository_analytics_spark.datapipe import similarity as SIM
+from lab_flink_repository_analytics_spark.datapipe import text as TX
+from lab_flink_repository_analytics_spark.functions import aggregate as AGG
+from lab_flink_repository_analytics_spark.queries import community as CQ
+from lab_flink_repository_analytics_spark.session import load_tables
+
+# ---------------------------------------------------------------------------
+# helpers
+
+DEC = "DECIMAL(18,6)"
+
+
+def _revenue_sum() -> F.Column:
+    """sum(extendedprice*(1-discount)) — double product, exact decimal sum."""
+    return F.sum(
+        F.expr(f"CAST(l_extendedprice * (1 - l_discount) AS {DEC})")
+    ).cast("double")
+
+
+_REV_SQL = f"CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# 1. TPC-H-style relational core (scan/filter/agg/join surface)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-heavy group-agg: the classic pricing summary.  Catalyst pushes
+    the shipdate filter into the parquet scan; partial aggregation keeps the
+    shuffle at (4 groups × partitions)."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    d = lambda c: F.expr(f"CAST({c} AS {DEC})")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            _revenue_sum().alias("sum_disc_price"),
+            F.sum(
+                F.expr(
+                    f"CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS {DEC})"
+                )
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(d("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(d("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+            (F.sum(d("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS sum_base_price,
+  {_REV_SQL} AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS {DEC})) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS {DEC})) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS {DEC})) AS DOUBLE) / count(*) AS avg_price,
+  CAST(sum(CAST(l_discount AS {DEC})) AS DOUBLE) / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + deterministic top-10.  customer is broadcast
+    (small side); lineitem↔orders is the one real shuffle."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    cutoff = F.lit("1996-03-15").cast("timestamp")
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") > cutoff)
+        .join(t["orders"].filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_revenue_sum().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority, {_REV_SQL} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15'
+  AND l_shipdate  > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: region/nation/supplier/customer broadcast onto the
+    orders⋈lineitem backbone — one big shuffle, all dims broadcast."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(t["customer"]),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(_revenue_sum().alias("revenue"))
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name, {_REV_SQL} AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def top_brands_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window function: top-3 part types per brand by revenue."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    agg = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(_revenue_sum().alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(), F.col("p_type"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_type", F.col("rnk").cast("int").alias("rnk"), "revenue")
+    )
+
+
+TOP_BRANDS_SQL = f"""
+WITH agg AS (
+  SELECT p_brand, p_type, {_REV_SQL} AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, p_type
+)
+SELECT p_brand, p_type, CAST(rnk AS INT) AS rnk, revenue FROM (
+  SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_type) AS rnk
+  FROM agg
+) WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Event-stream analytics (the reference's windowed-SQL surface)
+
+
+def users_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window, COUNT(DISTINCT user) — README.md:217-223
+    semantics (distinct mail users per tumble) over the events stream."""
+    t = load_tables(spark, sf_dir)
+    w = F.window("ts", "1 day")
+    return (
+        t["events"]
+        .groupBy(w.alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.count(F.lit(1)).alias("events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "users",
+            "events",
+        )
+    )
+
+
+USERS_PER_DAY_SQL = """
+SELECT date_trunc('day', ts) AS window_start,
+       date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+       count(DISTINCT user_id) AS users,
+       count(*) AS events
+FROM events GROUP BY 1, 2
+"""
+
+
+def quiet_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (12h gap) per user, HAVING count < 2 — the
+    unanswered-threads shape (README.md:227-236: SESSION + HAVING COUNT<2)."""
+    t = load_tables(spark, sf_dir)
+    sess = F.session_window("ts", "12 hours")
+    return (
+        t["events"]
+        .groupBy(sess.alias("s"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") < 2)
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "cnt",
+        )
+    )
+
+
+QUIET_SESSIONS_SQL = """
+WITH o AS (
+  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+  FROM events
+), m AS (
+  SELECT user_id, ts,
+         CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 12 HOUR THEN 1 ELSE 0 END AS ns
+  FROM o
+), s AS (
+  SELECT user_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 12 HOUR AS session_end,
+       count(*) AS cnt
+FROM s GROUP BY user_id, sid HAVING count(*) < 2
+"""
+
+
+def event_type_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day tumble × event_type, SUM(value) with HAVING — the
+    component-activity shape (README.md:242-251) on the events stream."""
+    t = load_tables(spark, sf_dir)
+    w = F.window("ts", "7 days")
+    return (
+        t["events"]
+        .groupBy(w.alias("w"), "event_type")
+        .agg(F.sum(F.expr(f"CAST(value AS {DEC})")).cast("double").alias("total_value"))
+        .filter(F.col("total_value") > 1000.0)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "total_value",
+        )
+    )
+
+
+EVENT_TYPE_ACTIVITY_SQL = f"""
+WITH w AS (
+  SELECT make_timestamp((epoch_us(ts) // 604800000000) * 604800000000) AS window_start,
+         event_type, value
+  FROM events
+)
+SELECT window_start, window_start + INTERVAL 7 DAY AS window_end, event_type,
+       CAST(sum(CAST(value AS {DEC})) AS DOUBLE) AS total_value
+FROM w GROUP BY window_start, event_type
+HAVING CAST(sum(CAST(value AS {DEC})) AS DOUBLE) > 1000.0
+"""
+
+
+def event_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the props column + grouped sum."""
+    t = load_tables(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+EVENT_JSON_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def last_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LastNonNullValue aggregate over the event stream: the last non-error
+    value per user in event order (errors masked to NULL —
+    ref LastNonNullValueAggFunction.java nulls-don't-reset semantics)."""
+    t = load_tables(spark, sf_dir)
+    v = F.when(F.col("event_type") != "error", F.col("value"))
+    return (
+        t["events"]
+        .select("user_id", v.alias("v"), "event_id")
+        .groupBy("user_id")
+        .agg(AGG.last_non_null_value_agg("v", "event_id").alias("last_value"))
+    )
+
+
+LAST_EVENT_VALUE_SQL = """
+SELECT user_id,
+       last(v ORDER BY event_id) FILTER (WHERE v IS NOT NULL) AS last_value
+FROM (
+  SELECT user_id, event_id,
+         CASE WHEN event_type <> 'error' THEN value END AS v
+  FROM events
+) GROUP BY user_id
+"""
+
+
+def nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG(DISTINCT …) — comma-joined ordered collect per group
+    (ref ListAggITCase112/113)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["nation"]
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(AGG.list_agg("n_name", order_by="n_name").alias("nations"))
+    )
+
+
+NATIONS_PER_REGION_SQL = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Reference-domain parity (synthesized domain rows, real pipelines)
+
+
+def commit_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: commit activity per component per 30-day window.
+
+    Synthesizes Commit-shaped rows (commitDate + filesChanged array of
+    structs) from ``orders`` deterministically, then runs the real pipeline:
+    explode(filesChanged) → GetSourceComponent regex → 30-day tumble →
+    SUM(linesChanged) HAVING > 1000 (README.md:242-251 ≙
+    FlinkCommitProgram.java:70-87)."""
+    t = load_tables(spark, sf_dir)
+    k = F.col("o_orderkey")
+    f1 = F.struct(
+        F.concat(F.lit("flink-"), (k % 7).cast("string"), F.lit("/src/main/java/A.java")).alias("filename"),
+        F.lit(0).alias("linesAdded"),
+        ((k * 7) % 100).cast("int").alias("linesChanged"),
+        F.lit(0).alias("linesRemoved"),
+    )
+    f2 = F.struct(
+        F.concat(F.lit("docs/content/p"), (k % 5).cast("string"), F.lit(".md")).alias("filename"),
+        F.lit(0).alias("linesAdded"),
+        ((k * 11) % 100).cast("int").alias("linesChanged"),
+        F.lit(0).alias("linesRemoved"),
+    )
+    f3 = F.struct(
+        F.when(k % 4 == 0, F.lit("LICENSE")).otherwise(F.lit("tools/ci/t.sh")).alias("filename"),
+        F.lit(0).alias("linesAdded"),
+        ((k * 13) % 100).cast("int").alias("linesChanged"),
+        F.lit(0).alias("linesRemoved"),
+    )
+    commits = t["orders"].select(
+        F.col("o_orderdate").alias("commitDate"),
+        F.array(f1, f2, f3).alias("filesChanged"),
+    )
+    return CQ.commit_activity_per_component(commits, "30 days", 1000)
+
+
+COMMIT_ACTIVITY_SQL = """
+WITH files AS (
+  SELECT o_orderdate AS commitDate,
+         'flink-' || (o_orderkey % 7) AS component,
+         CAST((o_orderkey * 7) % 100 AS BIGINT) AS lines
+  FROM orders
+  UNION ALL
+  SELECT o_orderdate, 'docs', CAST((o_orderkey * 11) % 100 AS BIGINT) FROM orders
+  UNION ALL
+  SELECT o_orderdate,
+         CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE 'tools' END,
+         CAST((o_orderkey * 13) % 100 AS BIGINT)
+  FROM orders
+), w AS (
+  SELECT make_timestamp((epoch_us(commitDate) // 2592000000000) * 2592000000000) AS window_start,
+         component, lines
+  FROM files
+)
+SELECT window_start, window_start + INTERVAL 30 DAY AS window_end, component,
+       CAST(sum(lines) AS BIGINT) AS lines_changed
+FROM w GROUP BY window_start, component
+HAVING sum(lines) > 1000
+"""
+
+
+#: shared synthesized-Jira-email construction (Spark side mirrors this)
+_JIRA_BODIES = [
+    "          Components: Tests",
+    "          Components: Tests, Formats (JSON, Avro, Parquet, ORC, SequenceFile)",
+    "          Components: API / DataStream, Runtime",
+    "          Components: Connectors / Kafka",
+    "Nothing to see here",
+]
+_JIRA_COMPONENT_LISTS = [
+    ["Tests"],
+    ["Tests", "Formats (JSON, Avro, Parquet, ORC, SequenceFile)"],
+    ["API / DataStream", "Runtime"],
+    ["Connectors / Kafka"],
+    [],
+]
+_JIRA_ACTIONS = ["Created", "Updated", "Closed", "Commented"]
+
+
+def _synth_jira_emails(t) -> DataFrame:
+    d = F.col("doc_id")
+    ts = F.expr(
+        "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, CAST(doc_id % 2160 AS INT), 0, 0)"
+    )
+    from_raw = F.when(
+        d % 3 == 0,
+        F.concat(F.lit('"Author '), (d % 7).cast("string"), F.lit(' (Jira)" <jira@apache.org>')),
+    ).otherwise(F.concat(F.lit('"User" <u'), d.cast("string"), F.lit("@example.com>")))
+    action = d % 4
+    subject = F.concat(
+        F.lit("[jira] ["),
+        F.when(action == 0, _JIRA_ACTIONS[0])
+        .when(action == 1, _JIRA_ACTIONS[1])
+        .when(action == 2, _JIRA_ACTIONS[2])
+        .otherwise(_JIRA_ACTIONS[3]),
+        F.lit("] (FLINK-"),
+        (10000 + d).cast("string"),
+        F.lit(") Fix "),
+        F.col("source"),
+    )
+    body_idx = d % 5
+    body = F.when(body_idx == 0, _JIRA_BODIES[0])
+    for i in range(1, 4):
+        body = body.when(body_idx == i, _JIRA_BODIES[i])
+    body = body.otherwise(_JIRA_BODIES[4])
+    return t["documents"].select(
+        ts.alias("date"),
+        from_raw.alias("fromRaw"),
+        subject.alias("subject"),
+        body.alias("textBody"),
+    )
+
+
+def jira_tickets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jira tickets created per component per 30-day window, over emails
+    synthesized from ``documents`` — exercises IsJiraTicket +
+    GetJiraTicketAction + GetJiraTicketComponents + explode + tumble +
+    HAVING (README.md:255-267) end-to-end with real regexes."""
+    t = load_tables(spark, sf_dir)
+    emails = _synth_jira_emails(t)
+    return CQ.jira_tickets_per_component(emails, "30 days", "Created", 2)
+
+
+def _jira_sql_components_case() -> str:
+    cases = []
+    for i, comps in enumerate(_JIRA_COMPONENT_LISTS):
+        lit = "[" + ", ".join("'" + c.replace("'", "''") + "'" for c in comps) + "]"
+        cases.append(f"WHEN {i} THEN {lit}::VARCHAR[]")
+    return "CASE (doc_id % 5) " + " ".join(cases) + " END"
+
+
+JIRA_TICKETS_SQL = f"""
+WITH mails AS (
+  SELECT TIMESTAMP '2024-01-01 00:00:00' + (doc_id % 2160) * INTERVAL 1 HOUR AS date,
+         (doc_id % 3 = 0) AS is_jira,
+         CASE (doc_id % 4) WHEN 0 THEN 'Created' WHEN 1 THEN 'Updated'
+                           WHEN 2 THEN 'Closed' ELSE 'Commented' END AS action,
+         {_jira_sql_components_case()} AS comps
+  FROM documents
+), exploded AS (
+  SELECT make_timestamp((epoch_us(date) // 2592000000000) * 2592000000000) AS window_start,
+         unnest(comps) AS component
+  FROM mails WHERE is_jira AND action = 'Created'
+)
+SELECT window_start, window_start + INTERVAL 30 DAY AS window_end, component,
+       count(*) AS created_tickets
+FROM exploded GROUP BY window_start, component
+HAVING count(*) > 2
+"""
+
+
+def aliases_company(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetEmailAliasesAndCompany over people synthesized from events:
+    per user, all email aliases + current company + company-since
+    (ref GetEmailAliasesAndCompany.java; SURVEY.md §2.D composite)."""
+    t = load_tables(spark, sf_dir)
+    u = F.col("user_id")
+    email = F.concat(
+        F.lit("u"),
+        u.cast("string"),
+        F.lit("@"),
+        F.when(F.col("event_type") == "error", F.lit("gmail.com"))
+        .when(F.col("event_type") == "signup", F.concat(F.lit("corp"), (u % 3).cast("string"), F.lit(".com")))
+        .when(F.col("event_type") == "purchase", F.lit("data-artisans.com"))
+        .when(F.col("event_type") == "view", F.lit("Apache.ORG"))
+        .otherwise(F.concat(F.lit("shop"), (u % 2).cast("string"), F.lit(".io"))),
+    )
+    return (
+        t["events"]
+        .select("user_id", email.alias("email"), "ts")
+        .groupBy("user_id")
+        .agg(AGG.get_email_aliases_and_company("email", "ts").alias("p"))
+        .select(
+            "user_id",
+            F.col("p.aliases").alias("aliases"),
+            F.col("p.company").alias("company"),
+            F.col("p.companySince").alias("companySince"),
+        )
+    )
+
+
+_EXCLUDES_SQL = "[" + ", ".join(f"'{d}'" for d in AGG.COMPANY_EXCLUDES) + "]"
+
+ALIASES_COMPANY_SQL = f"""
+WITH base AS (
+  SELECT user_id,
+         'u' || user_id || '@' ||
+         CASE event_type
+           WHEN 'error' THEN 'gmail.com'
+           WHEN 'signup' THEN 'corp' || (user_id % 3) || '.com'
+           WHEN 'purchase' THEN 'data-artisans.com'
+           WHEN 'view' THEN 'Apache.ORG'
+           ELSE 'shop' || (user_id % 2) || '.io'
+         END AS email,
+         ts
+  FROM events
+), firsts AS (
+  SELECT user_id, email, min(ts) AS fts FROM base GROUP BY 1, 2
+), al AS (
+  SELECT user_id, list(email ORDER BY fts, email) AS aliases FROM firsts GROUP BY 1
+), nn AS (
+  SELECT user_id, ts, email, regexp_extract(email, '@([^@]+)$', 1) AS domain
+  FROM base
+  WHERE regexp_extract(email, '@([^@]+)$', 1) <> ''
+    AND NOT list_contains({_EXCLUDES_SQL}, lower(regexp_extract(email, '@([^@]+)$', 1)))
+), ch AS (
+  SELECT *, lag(domain) OVER (PARTITION BY user_id ORDER BY ts, email) AS pd FROM nn
+), res AS (
+  SELECT user_id,
+         last(domain ORDER BY ts, email) FILTER (WHERE pd IS NULL OR domain <> pd) AS company,
+         max(ts) FILTER (WHERE pd IS NULL OR domain <> pd) AS companySince
+  FROM ch GROUP BY user_id
+)
+SELECT a.user_id, a.aliases,
+       regexp_replace(r.company, '(data-artisans|da-platform).com', 'ververica.com') AS company,
+       r.companySince
+FROM al a LEFT JOIN res r ON a.user_id = r.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. Training-data-pipeline operators (documents / embeddings)
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup summary: md5 fingerprint → keeper id + copy count."""
+    t = load_tables(spark, sf_dir)
+    return DD.exact_dedup_summary(t["documents"])
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS copies
+FROM documents GROUP BY 1
+"""
+
+
+def word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode/UNNEST surface at corpus scale: token frequencies."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+WORD_COUNTS_SQL = """
+SELECT word, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics (token counts, ratios)."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", TX.quality_metrics("text").alias("q")
+    ).select("doc_id", "q.*")
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+TEXT_QUALITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+)
+SELECT doc_id,
+  CAST(len(t) AS INT) AS n_tokens,
+  CAST(length(text) AS INT) AS n_chars,
+  CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS avg_token_len,
+  CAST(len(list_filter(t, x -> list_contains({_sql_list(TX.STOPWORDS_EN)}, x))) AS DOUBLE) / len(t) AS stopword_ratio,
+  CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_ratio
+FROM toks
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language-ID heuristic per document."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", "lang", TX.lang_scores("text").alias("s")
+    ).select("doc_id", "lang", "s.*")
+
+
+LANG_ID_SQL = f"""
+WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+hits AS (
+  SELECT doc_id, lang,
+    CAST(len(list_filter(t, x -> list_contains({_sql_list(TX.STOPWORDS_EN)}, x))) AS INT) AS en_hits,
+    CAST(len(list_filter(t, x -> list_contains({_sql_list(TX.MARKERS_DE)}, x))) AS INT) AS de_hits,
+    CAST(len(list_filter(t, x -> list_contains({_sql_list(TX.MARKERS_ES)}, x))) AS INT) AS es_hits
+  FROM toks
+)
+SELECT doc_id, lang, en_hits, de_hits, es_hits,
+  CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+       WHEN de_hits >= es_hits AND de_hits > 0 THEN 'de'
+       WHEN es_hits > 0 THEN 'es'
+       ELSE 'unknown' END AS predicted_lang
+FROM hits
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprints (dedup key / provenance)."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+DOC_FINGERPRINTS_SQL = r"""
+SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+FROM documents
+"""
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature (8 portable md5-based permutations)."""
+    t = load_tables(spark, sf_dir)
+    return DD.minhash_signatures_df(t["documents"])
+
+
+def _minhash_sql() -> str:
+    perms = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {DD.MINHASH_P}))"
+        for a, b in zip(DD.MINHASH_A, DD.MINHASH_B)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+         THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         ELSE [text] END AS shingles
+  FROM toks
+), hashed AS (
+  SELECT doc_id,
+    list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+  FROM sh
+)
+SELECT doc_id, [{perms}] AS sig FROM hashed
+"""
+
+
+MINHASH_SQL = _minhash_sql()
+
+
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (banded signature join)."""
+    t = load_tables(spark, sf_dir)
+    return DD.near_dup_candidates(t["documents"])
+
+
+NEAR_DUP_SQL = f"""
+WITH sigs AS ({MINHASH_SQL.strip()}),
+banded AS (
+  SELECT doc_id AS id, b AS band, sig[2*b+1] AS s1, sig[2*b+2] AS s2
+  FROM sigs, unnest([0, 1, 2, 3]) AS u(b)
+)
+SELECT l.id AS id_a, r.id AS id_b
+FROM banded l JOIN banded r
+  ON l.band = r.band AND l.s1 = r.s1 AND l.s2 = r.s2 AND l.id < r.id
+GROUP BY 1, 2
+"""
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (token-level)."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select("doc_id", DD.simhash32("text").alias("simhash"))
+
+
+SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+), hashed AS (
+  SELECT doc_id, list_transform(t, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+  FROM toks
+), bits AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, 31),
+      i -> CASE WHEN list_sum(list_transform(hs,
+             h -> CASE WHEN (h // power(2, i)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+           THEN power(2, i)::BIGINT ELSE 0 END) AS bvals
+  FROM hashed
+)
+SELECT doc_id, CAST(list_sum(bvals) AS BIGINT) AS simhash FROM bits
+"""
+
+
+def jaccard_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (token) Jaccard within (source, lang) blocks."""
+    t = load_tables(spark, sf_dir)
+    return DD.ngram_jaccard_pairs(t["documents"], ["source", "lang"])
+
+
+JACCARD_SQL = """
+SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+       CAST(len(list_intersect(list_distinct(string_split(l.text, ' ')),
+                               list_distinct(string_split(r.text, ' ')))) AS DOUBLE)
+       / len(list_distinct(list_concat(string_split(l.text, ' '),
+                                       string_split(r.text, ' ')))) AS jaccard
+FROM documents l JOIN documents r
+  ON l.source = r.source AND l.lang = r.lang AND l.doc_id < r.doc_id
+"""
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors (vec_id < 5)."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return SIM.brute_force_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)
+
+
+ANN_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * cv[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))
+          * sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * cv[i])))) AS score
+  FROM q, c WHERE query_id <> neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(score, 6) AS cos_sim
+FROM ranked WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "top_brands_by_revenue": top_brands_by_revenue,
+        "users_per_day": users_per_day,
+        "quiet_sessions": quiet_sessions,
+        "event_type_activity": event_type_activity,
+        "event_json_props": event_json_props,
+        "last_event_value": last_event_value,
+        "nations_per_region": nations_per_region,
+        "commit_activity": commit_activity,
+        "jira_tickets": jira_tickets,
+        "aliases_company": aliases_company,
+        "dedup_exact": dedup_exact,
+        "word_counts": word_counts,
+        "text_quality": text_quality,
+        "lang_id": lang_id,
+        "doc_fingerprints": doc_fingerprints,
+        "minhash_signatures": minhash_signatures,
+        "near_dup_pairs": near_dup_pairs,
+        "simhash_fingerprints": simhash_fingerprints,
+        "jaccard_blocked_pairs": jaccard_blocked_pairs,
+        "ann_cosine_topk": ann_cosine_topk,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "q1_pricing_summary": Q1_SQL,
+        "q3_shipping_priority": Q3_SQL,
+        "q5_local_supplier_volume": Q5_SQL,
+        "top_brands_by_revenue": TOP_BRANDS_SQL,
+        "users_per_day": USERS_PER_DAY_SQL,
+        "quiet_sessions": QUIET_SESSIONS_SQL,
+        "event_type_activity": EVENT_TYPE_ACTIVITY_SQL,
+        "event_json_props": EVENT_JSON_SQL,
+        "last_event_value": LAST_EVENT_VALUE_SQL,
+        "nations_per_region": NATIONS_PER_REGION_SQL,
+        "commit_activity": COMMIT_ACTIVITY_SQL,
+        "jira_tickets": JIRA_TICKETS_SQL,
+        "aliases_company": ALIASES_COMPANY_SQL,
+        "dedup_exact": DEDUP_EXACT_SQL,
+        "word_counts": WORD_COUNTS_SQL,
+        "text_quality": TEXT_QUALITY_SQL,
+        "lang_id": LANG_ID_SQL,
+        "doc_fingerprints": DOC_FINGERPRINTS_SQL,
+        "minhash_signatures": MINHASH_SQL,
+        "near_dup_pairs": NEAR_DUP_SQL,
+        "simhash_fingerprints": SIMHASH_SQL,
+        "jaccard_blocked_pairs": JACCARD_SQL,
+        "ann_cosine_topk": ANN_SQL,
+    }

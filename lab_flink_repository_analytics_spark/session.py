@@ -87,6 +87,10 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
         "documents",
         "embeddings",
     ]
+    # runtime-settable; needed when the caller's session (e.g. the driver's)
+    # wasn't built by get_spark — events.ts is TIMESTAMP(NANOS) parquet
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {}
     for name in names:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

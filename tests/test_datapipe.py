@@ -1,0 +1,107 @@
+"""Data-pipeline operator tests (dedup / similarity / text analysis)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from lab_flink_repository_analytics_spark.datapipe import dedup as DD
+from lab_flink_repository_analytics_spark.datapipe import similarity as SIM
+from lab_flink_repository_analytics_spark.datapipe import text as TX
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "a"),
+        (2, "the quick brown fox jumps over the lazy cat", "en", "a"),  # near-dup of 1
+        (3, "completely different content about spark engines", "en", "a"),
+        (4, "the quick brown fox jumps over the lazy dog", "en", "b"),  # exact dup of 1
+        (5, "ab", "en", "b"),  # shorter than shingle size
+    ]
+    return spark.createDataFrame(rows, "doc_id: int, text: string, lang: string, source: string")
+
+
+def test_exact_dedup(spark):
+    out = DD.exact_dedup_summary(_docs(spark)).collect()
+    by_copies = {r["copies"]: r for r in out}
+    assert by_copies[2]["keep_id"] == 1  # docs 1 and 4 share a fingerprint
+    assert len(out) == 4
+
+
+def test_minhash_df_matches_expression_form(spark):
+    df = _docs(spark)
+    a = {r["doc_id"]: r["sig"] for r in DD.minhash_signatures_df(df).collect()}
+    b = {
+        r["doc_id"]: r["sig"]
+        for r in df.select("doc_id", DD.minhash_signature("text").alias("sig")).collect()
+    }
+    assert a == b
+    assert all(len(s) == DD.N_PERMS for s in a.values())
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    sigs = {r["doc_id"]: r["sig"] for r in DD.minhash_signatures_df(_docs(spark)).collect()}
+    assert sigs[1] == sigs[4]
+    assert sigs[1] != sigs[3]
+
+
+def test_near_dup_candidates_find_exact_dups(spark):
+    pairs = {(r["id_a"], r["id_b"]) for r in DD.near_dup_candidates(_docs(spark)).collect()}
+    assert (1, 4) in pairs  # identical docs always collide in every band
+
+
+def test_simhash_close_for_near_dups(spark):
+    out = {r["doc_id"]: r["simhash"] for r in
+           _docs(spark).select("doc_id", DD.simhash32("text").alias("simhash")).collect()}
+    assert out[1] == out[4]
+    hamming = bin(out[1] ^ out[2]).count("1")
+    assert hamming <= 12  # 8/9 shared tokens → close signatures
+    assert 0 <= out[1] < 2**32
+
+
+def test_jaccard_pairs(spark):
+    out = DD.ngram_jaccard_pairs(_docs(spark), ["source"])
+    vals = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert math.isclose(vals[(1, 2)], 7 / 9)  # 8-token sets sharing 7
+    assert vals[(4, 5)] == 0.0
+
+
+def test_cosine_and_topk(spark):
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])]
+    emb = spark.createDataFrame(rows, "vec_id: int, embedding: array<float>")
+    out = SIM.brute_force_topk(emb.filter(F.col("vec_id") == 0), emb, k=3)
+    got = [(r["rank"], r["neighbor_id"], r["cos_sim"]) for r in out.collect()]
+    assert got[0][:2] == (1, 1) and math.isclose(got[0][2], 1.0)
+    assert got[1][1] == 3  # 45° before orthogonal
+    assert got[2][1] == 2 and math.isclose(got[2][2], 0.0)
+
+
+def test_lsh_bucket_deterministic_and_bounded(spark):
+    rows = [(i, [float((i * 7 + j) % 5 - 2) for j in range(8)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id: int, embedding: array<float>")
+    a = {r["vec_id"]: r["b"] for r in emb.select("vec_id", SIM.lsh_bucket("embedding").alias("b")).collect()}
+    b = {r["vec_id"]: r["b"] for r in emb.select("vec_id", SIM.lsh_bucket("embedding").alias("b")).collect()}
+    assert a == b
+    assert all(0 <= v < 2**SIM.LSH_NBITS for v in a.values())
+
+
+def test_text_metrics(spark):
+    df = spark.createDataFrame([(1, "the cat and the hat")], "doc_id: int, text: string")
+    q = df.select(TX.quality_metrics("text").alias("q")).select("q.*").collect()[0]
+    assert q["n_tokens"] == 5
+    assert q["n_chars"] == 19
+    assert math.isclose(q["stopword_ratio"], 3 / 5)  # the, and, the
+    assert math.isclose(q["distinct_ratio"], 4 / 5)
+    s = df.select(TX.lang_scores("text").alias("s")).select("s.*").collect()[0]
+    assert s["predicted_lang"] == "en"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "  hello world "), (3, "hello worlds")],
+        "doc_id: int, text: string",
+    )
+    fp = {r["doc_id"]: r["fp"] for r in df.select("doc_id", TX.fingerprint("text").alias("fp")).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]

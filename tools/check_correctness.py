@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry from ``__spark_entry__`` AND its
+``oracle_sql()`` DuckDB equivalent on the same parquet tables, then
+compares row count, column names, and values (columns sorted by name,
+rows sorted, exact match with a float-tolerance fallback that is reported
+separately).
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if hasattr(v, "isoformat"):  # datetime / Timestamp
+        return v.isoformat()
+    if hasattr(v, "tolist"):  # numpy array or scalar
+        r = v.tolist()
+        return _norm_cell(tuple(r) if isinstance(r, list) else r)
+    return v
+
+
+def _normalize(df_pandas):
+    cols = sorted(df_pandas.columns)
+    out = []
+    for row in df_pandas[cols].itertuples(index=False, name=None):
+        out.append(tuple(_norm_cell(v) for v in row))
+    out.sort(key=repr)
+    return cols, out
+
+
+def _approx_equal(a, b, tol=1e-9):
+    if type(a) is tuple and type(b) is tuple:
+        return len(a) == len(b) and all(_approx_equal(x, y, tol) for x, y in zip(a, b))
+    if isinstance(a, float) and isinstance(b, float):
+        return abs(a - b) <= tol * max(1.0, abs(a), abs(b))
+    return a == b
+
+
+def main():
+    args = [a for a in sys.argv[1:]]
+    sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    only = set(args)
+
+    import __spark_entry__ as entry_mod
+    from lab_flink_repository_analytics_spark.session import get_spark
+
+    spark = get_spark(app_name="check-correctness")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_pd = sdf.toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(spark_pd)} rows (no oracle — rows-only check)")
+            continue
+        try:
+            duck_pd = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error: {e}")
+            failures.append(name)
+            continue
+        scols, srows = _normalize(spark_pd)
+        dcols, drows = _normalize(duck_pd)
+        dt = time.time() - t0
+        if scols != dcols:
+            print(f"FAIL  {name}: schema {scols} vs {dcols}")
+            failures.append(name)
+            continue
+        if len(srows) != len(drows):
+            print(f"FAIL  {name}: rowcount {len(srows)} vs {len(drows)}")
+            failures.append(name)
+            _show_diff(srows, drows)
+            continue
+        if srows == drows:
+            print(f"OK    {name}: {len(srows)} rows exact  ({dt:.1f}s)")
+            continue
+        if all(_approx_equal(a, b) for a, b in zip(srows, drows)):
+            print(f"OK~   {name}: {len(srows)} rows approx-only (float ulp) ({dt:.1f}s)")
+            continue
+        print(f"FAIL  {name}: value mismatch ({len(srows)} rows)")
+        failures.append(name)
+        _show_diff(srows, drows)
+
+    print()
+    if failures:
+        print(f"FAILURES ({len(failures)}): {failures}")
+        sys.exit(1)
+    print("ALL OK")
+
+
+def _show_diff(srows, drows, n=3):
+    sset, dset = set(map(repr, srows)), set(map(repr, drows))
+    only_s = [r for r in srows if repr(r) not in dset][:n]
+    only_d = [r for r in drows if repr(r) not in sset][:n]
+    for r in only_s:
+        print(f"      spark-only: {r}")
+    for r in only_d:
+        print(f"      duck-only : {r}")
+
+
+if __name__ == "__main__":
+    main()
