@@ -1,0 +1,150 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+The Spark-side machinery is real and tested — schemas, Arrow-batched
+pandas UDFs over ``mapInPandas``, partition sizing — while the actual
+media decoding is STUBBED (this container has no image/audio libraries):
+each decode function raises ``NotImplementedError`` unless
+``deterministic_fake=True``, which substitutes a reproducible md5-derived
+payload so the pipeline shape is testable end-to-end.
+
+Design for 100 TB of media:
+
+* binary payloads stay in their own column so column pruning skips them
+  for metadata-only queries (parquet reads only requested columns)
+* ``mapInPandas`` processes Arrow record batches — decode cost amortizes
+  per batch; ``spark.sql.files.maxPartitionBytes`` bounds partition memory
+  since one input split holds whole payloads
+* derived features (embeddings, thumbnails) are written to a separate
+  table keyed by content hash, so re-featurization doesn't rewrite media
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: A media row: opaque payload + typed metadata.
+MEDIA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+IMAGE_FEATURES = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("content_hash", StringType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+EMBED_DIM = 16
+
+
+def _fake_embedding(payload: bytes, dim: int = EMBED_DIM) -> list[float]:
+    """Deterministic stand-in feature vector: md5-seeded bytes → [-1, 1)."""
+    h = hashlib.md5(payload or b"").digest()
+    vals = []
+    i = 0
+    while len(vals) < dim:
+        b = h[i % len(h)]
+        vals.append((b - 128) / 128.0)
+        i += 1
+        h = hashlib.md5(h).digest() if i % len(h) == 0 else h
+    return vals
+
+
+def decode_image(payload: bytes, deterministic_fake: bool = False):
+    """Decode an image payload to (height, width, pixel array).
+
+    STUB: real decoding needs PIL/opencv (not in this container).  The
+    fake mode returns md5-derived dimensions so plumbing is testable.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image decoding requires PIL/opencv; run with deterministic_fake=True"
+        )
+    h = hashlib.md5(payload or b"").digest()
+    return (h[0] % 64 + 1, h[1] % 64 + 1, None)
+
+
+def extract_image_features(
+    media: DataFrame, deterministic_fake: bool = True
+) -> DataFrame:
+    """media rows → (media_id, content_hash, embedding) via mapInPandas.
+
+    The UDF sees Arrow batches of whole payloads; output schema is fixed
+    (IMAGE_FEATURES).  With a real decoder only ``_fake_embedding`` /
+    ``decode_image`` change — the Spark plumbing stays identical.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            embeddings = [
+                _fake_embedding(p if p is not None else b"")
+                if deterministic_fake
+                else decode_image(p)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content_hash": [
+                        hashlib.md5(p if p is not None else b"").hexdigest()
+                        for p in pdf["payload"]
+                    ],
+                    "embedding": embeddings,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=IMAGE_FEATURES
+    )
+
+
+def sample_video_frames(
+    media: DataFrame, every_ms: int = 1000, deterministic_fake: bool = True
+) -> DataFrame:
+    """video rows → one row per sampled frame timestamp.
+
+    Frame *extraction* is stubbed (needs ffmpeg); the frame-timestamp plan
+    (explode over a generated sequence, bounded by duration metadata) is
+    the real Spark shape and runs without touching payloads — column
+    pruning drops the binary column entirely.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError("frame extraction requires ffmpeg")
+    frames = F.sequence(
+        F.lit(0), F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)), F.lit(every_ms)
+    )
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", F.explode(frames).alias("frame_ts_ms"))
+    )
+
+
+def media_summary(media: DataFrame) -> DataFrame:
+    """Catalog rollup: counts + payload volume per (kind, mime)."""
+    return media.groupBy("kind", "mime").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+    )

@@ -1,0 +1,97 @@
+"""Sinks — idempotent upsert + fan-out writers (SURVEY.md §2.B).
+
+The reference's sinks:
+
+* Elasticsearch upsert keyed by hash(componentName, windowStart) — an
+  idempotent write of window summaries (FlinkCommitProgram.java:96-141,
+  doc-id :133-137).  Spark-side: key-merge into a parquet dataset (or
+  Delta MERGE where available) — ``upsert_by_key``.
+* Kafka JSON topics via ``executeInsert`` (FlinkCommitsToKafka.java:47-93
+  etc.).  Spark-side: ``to_kafka_json`` builds the (key, value JSON) frame;
+  actual Kafka delivery needs the kafka connector package at runtime.
+* Multi-sink statement set (FlinkMailingListToKafka.java:169-174) —
+  Spark-side: ``fan_out`` writes one cached source to N sinks.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def upsert_by_key(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_cols: list[str],
+) -> None:
+    """Idempotent key-merge into a parquet dataset.
+
+    Without a transactional table format, merge = read-existing ∪ updates,
+    keep the update on key collision, rewrite.  Mirrors the ES upsert
+    doc-id semantics (hash of the key columns, FlinkCommitProgram.java:
+    133-137): re-running the same window summaries converges.
+
+    At scale this should be Delta/Iceberg ``MERGE INTO`` keyed the same
+    way (or partition-overwrite when updates align to partitions); the
+    rewrite here is the dependency-free fallback.
+    """
+    updates = updates.withColumn("_is_update", F.lit(1))
+    if _exists(spark, path):
+        existing = spark.read.parquet(path).withColumn("_is_update", F.lit(0))
+        merged = existing.unionByName(updates)
+    else:
+        merged = updates
+    w_cols = [F.col(c) for c in key_cols]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*w_cols).orderBy(F.col("_is_update").desc())
+    result = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_is_update")
+    )
+    # write to a temp dir then swap — the source partitions are being read
+    tmp = path.rstrip("/") + "._tmp"
+    result.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(path)
+    _rm(tmp)
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    return os.path.exists(path) and any(
+        n.endswith(".parquet") or n == "_SUCCESS" for n in os.listdir(path)
+    )
+
+
+def _rm(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def to_kafka_json(df: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+    """(key, value) frame in Kafka JSON wire shape:
+    ``value = to_json(struct(*))`` like the reference's JSON-format topics
+    (README.md:78-100)."""
+    value = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    key = (
+        F.to_json(F.struct(*[F.col(c) for c in key_cols]))
+        if key_cols
+        else F.lit(None).cast("string")
+    )
+    return df.select(key.alias("key"), value.alias("value"))
+
+
+def fan_out(df: DataFrame, writers: list) -> None:
+    """One source, N sinks (≙ the reference's StatementSet multi-insert,
+    FlinkMailingListToKafka.java:169-174).  Caches the source once."""
+    df.persist()
+    try:
+        for write in writers:
+            write(df)
+    finally:
+        df.unpersist()

@@ -594,6 +594,83 @@ FROM al a LEFT JOIN res r ON a.user_id = r.user_id
 """
 
 
+def obfuscated_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Obfuscate scalar over synthesized emails (ref Obfuscate.java:15-51):
+    md5-short local part, domain preserved, then grouped activity."""
+    t = load_tables(spark, sf_dir)
+    u = F.col("user_id")
+    email = F.concat(
+        F.lit("u"), u.cast("string"), F.lit("@mail"), (u % 4).cast("string"), F.lit(".com")
+    )
+    from lab_flink_repository_analytics_spark.functions.scalar import obfuscate
+
+    return (
+        t["events"]
+        .select(obfuscate(email).alias("obf_email"))
+        .groupBy("obf_email")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+OBFUSCATED_USERS_SQL = """
+SELECT concat(substr(md5('u' || user_id), 1, 6), '@mail', (user_id % 4), '.com') AS obf_email,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def normalized_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NormalizeEmailThread over synthesized Re:/AW:-prefixed subjects
+    (ref NormalizeEmailThread.java; PatternUtils.java:16-17)."""
+    t = load_tables(spark, sf_dir)
+    d = F.col("doc_id")
+    subject = (
+        F.when(d % 3 == 0, F.concat(F.lit("Re: topic "), F.col("lang")))
+        .when(d % 3 == 1, F.concat(F.lit("AW: re: topic "), F.col("lang")))
+        .otherwise(F.concat(F.lit("  topic "), F.col("lang"), F.lit("  ")))
+    )
+    from lab_flink_repository_analytics_spark.functions.scalar import (
+        normalize_email_thread,
+    )
+
+    return (
+        t["documents"]
+        .select(normalize_email_thread(subject).alias("thread"))
+        .groupBy("thread")
+        .agg(F.count(F.lit(1)).alias("messages"))
+    )
+
+
+NORMALIZED_THREADS_SQL = """
+SELECT 'topic ' || lang AS thread, count(*) AS messages
+FROM documents GROUP BY 1
+"""
+
+
+def repeated_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArrayRepeat + explode (ref ArrayRepeat.java:8-29): each nation name
+    repeated (key % 3 + 1) times, then re-counted."""
+    t = load_tables(spark, sf_dir)
+    from lab_flink_repository_analytics_spark.functions.scalar import (
+        array_repeat_nullsafe,
+    )
+
+    reps = (F.col("n_nationkey") % 3 + 1).cast("int")
+    return (
+        t["nation"]
+        .select(F.explode(array_repeat_nullsafe(F.col("n_name"), reps)).alias("name"))
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+REPEATED_LABELS_SQL = """
+SELECT n_name AS name, count(*) AS n
+FROM nation, LATERAL (SELECT unnest(generate_series(1, n_nationkey % 3 + 1)) AS r) g
+GROUP BY n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # 4. Training-data-pipeline operators (documents / embeddings)
 
@@ -830,6 +907,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "commit_activity": commit_activity,
         "jira_tickets": jira_tickets,
         "aliases_company": aliases_company,
+        "obfuscated_users": obfuscated_users,
+        "normalized_threads": normalized_threads,
+        "repeated_labels": repeated_labels,
         "dedup_exact": dedup_exact,
         "word_counts": word_counts,
         "text_quality": text_quality,
@@ -858,6 +938,9 @@ def oracle_sql() -> dict[str, str]:
         "commit_activity": COMMIT_ACTIVITY_SQL,
         "jira_tickets": JIRA_TICKETS_SQL,
         "aliases_company": ALIASES_COMPANY_SQL,
+        "obfuscated_users": OBFUSCATED_USERS_SQL,
+        "normalized_threads": NORMALIZED_THREADS_SQL,
+        "repeated_labels": REPEATED_LABELS_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "word_counts": WORD_COUNTS_SQL,
         "text_quality": TEXT_QUALITY_SQL,

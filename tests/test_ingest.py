@@ -1,0 +1,199 @@
+"""Ingester tests: synthetic git repo / mbox file / GitHub API fixtures."""
+
+from __future__ import annotations
+
+import subprocess
+from datetime import datetime
+
+import pytest
+
+from lab_flink_repository_analytics_spark.ingest import github, gitlog, mbox
+
+
+@pytest.fixture(scope="module")
+def git_repo(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("repo"))
+    env = {
+        "GIT_AUTHOR_NAME": "Alice",
+        "GIT_AUTHOR_EMAIL": "alice@corp.io",
+        "GIT_COMMITTER_NAME": "Bob",
+        "GIT_COMMITTER_EMAIL": "bob@corp.io",
+        "GIT_AUTHOR_DATE": "2021-01-01T10:00:00+00:00",
+        "GIT_COMMITTER_DATE": "2021-01-01T11:00:00+00:00",
+    }
+
+    def git(*args, **kw):
+        subprocess.run(["git", "-C", d, *args], check=True, capture_output=True, env={**env, **kw})
+
+    subprocess.run(["git", "init", "-q", d], check=True, capture_output=True)
+    (p := __import__("pathlib").Path(d))
+    (p / "a.txt").write_text("one\ntwo\n")
+    git("add", "a.txt")
+    git("commit", "-q", "-m", "first commit")
+    (p / "a.txt").write_text("one\nTWO\nthree\n")
+    (p / "b.txt").write_text("x\n")
+    git("add", ".")
+    git("commit", "-q", "-m", "second commit")
+    return d
+
+
+def test_gitlog_read_commits(git_repo):
+    commits = gitlog.read_commits(git_repo)
+    assert len(commits) == 2  # --reverse: oldest first
+    first, second = commits
+    assert first["shortInfo"] == "first commit"
+    assert first["author"] == "Alice" and first["committer"] == "Bob"
+    assert first["authorDate"] == datetime(2021, 1, 1, 10, 0)
+    assert first["commitDate"] == datetime(2021, 1, 1, 11, 0)
+    f = {x["filename"]: x for x in first["filesChanged"]}
+    assert f["a.txt"]["linesAdded"] == 2 and f["a.txt"]["linesRemoved"] == 0
+    assert f["a.txt"]["linesChanged"] == 2  # added + removed (JGit parity)
+    s = {x["filename"]: x for x in second["filesChanged"]}
+    assert s["a.txt"]["linesAdded"] == 2 and s["a.txt"]["linesRemoved"] == 1
+    assert s["a.txt"]["linesChanged"] == 3
+    assert s["b.txt"]["linesAdded"] == 1
+
+
+def test_gitlog_incremental(git_repo):
+    all_commits = gitlog.read_commits(git_repo)
+    rest = gitlog.read_commits(git_repo, after_sha=all_commits[0]["sha1"])
+    assert [c["sha1"] for c in rest] == [all_commits[1]["sha1"]]
+
+
+def test_gitlog_df(spark, git_repo):
+    df = gitlog.commits_df(spark, git_repo)
+    assert df.count() == 2
+    exploded = df.selectExpr("explode(filesChanged) AS f").select("f.linesChanged")
+    assert sum(r[0] for r in exploded.collect()) == 2 + 3 + 1
+
+
+MBOX_CONTENT = """From alice@corp.io Mon Jan  4 09:00:00 2021
+From: Alice <alice@corp.io>
+To: dev@list.org
+Subject: How do I X?
+Date: Mon, 4 Jan 2021 09:00:00 +0100
+Content-Type: text/plain; charset=utf-8
+
+Help needed with X.
+
+From jira@apache.org Mon Jan  4 12:00:00 2021
+From: "Jane Doe (Jira)" <jira@apache.org>
+To: dev@list.org
+Subject: [jira] [Created] (FLINK-1) Bug
+Date: Mon, 4 Jan 2021 11:00:00 +0000
+MIME-Version: 1.0
+Content-Type: multipart/alternative; boundary="BB"
+
+--BB
+Content-Type: text/plain; charset=utf-8
+
+          Components: Tests
+
+--BB
+Content-Type: text/html; charset=utf-8
+
+<p>Components: Tests</p>
+
+--BB--
+
+From x Mon Jan  4 13:00:00 2021
+Sender: Fallback <fb@corp.io>
+Subject: no from header
+Date: Mon, 4 Jan 2021 13:00:00 +0000
+Content-Type: text/plain
+
+body here
+"""
+
+
+@pytest.fixture(scope="module")
+def mbox_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("mail") / "list-2021-01.mbox"
+    p.write_text(MBOX_CONTENT)
+    return str(p)
+
+
+def test_mbox_parse(mbox_file):
+    emails = mbox.read_emails(mbox_file)
+    assert len(emails) == 3
+    a, j, s = emails
+    # date normalized to UTC (09:00+01:00 -> 08:00)
+    assert a["date"] == datetime(2021, 1, 4, 8, 0)
+    assert a["fromEmail"] == "alice@corp.io"
+    assert a["textBody"].strip() == "Help needed with X."
+    assert a["htmlBody"] is None
+    # multipart: text and html split (ApacheMboxSource.java:285-293)
+    assert j["fromRaw"] == '"Jane Doe (Jira)" <jira@apache.org>'
+    assert "          Components: Tests" in j["textBody"]
+    assert "<p>" in j["htmlBody"]
+    # FROM -> SENDER fallback (:302-319)
+    assert s["fromRaw"].startswith("Fallback")
+    assert s["fromEmail"] == "fb@corp.io"
+
+
+def test_mbox_incremental_filter(mbox_file):
+    emails = mbox.read_emails(mbox_file, after=datetime(2021, 1, 4, 11, 0))
+    assert len(emails) == 1  # strictly-after semantics (:157)
+
+
+def test_mbox_df_runs_jira_pipeline(spark, mbox_file):
+    from lab_flink_repository_analytics_spark.functions.scalar import (
+        get_jira_ticket_components,
+        is_jira_ticket,
+    )
+    from pyspark.sql import functions as F
+
+    df = mbox.emails_df(spark, mbox_file)
+    out = (
+        df.filter(is_jira_ticket(F.col("fromRaw")))
+        .select(F.explode(get_jira_ticket_components(F.col("textBody"))).alias("c"))
+        .collect()
+    )
+    assert [r["c"] for r in out] == ["Tests"]
+
+
+API_COMMIT = {
+    "sha": "abc123",
+    "author": {"login": "alice"},
+    "committer": {"login": "bob"},
+    "commit": {
+        "author": {"name": "Alice", "email": "alice@corp.io", "date": "2021-01-01T10:00:00Z"},
+        "committer": {"name": "Bob", "email": "bob@corp.io", "date": "2021-01-01T11:00:00Z"},
+        "message": "fix: something\n\nlong body",
+    },
+    "files": [{"filename": "flink-core/src/A.java", "additions": 3, "deletions": 1, "changes": 4}],
+}
+
+API_PULL = {
+    "number": 7,
+    "state": "closed",
+    "title": "Add feature",
+    "body": "desc",
+    "user": {"login": "alice"},
+    "labels": [{"name": "component=runtime"}],
+    "created_at": "2021-01-01T00:00:00Z",
+    "updated_at": "2021-01-02T00:00:00Z",
+    "closed_at": "2021-01-03T00:00:00Z",
+    "merged_at": "2021-01-03T00:00:00Z",
+    "merge_commit_sha": "deadbeef",
+    "comments": 5,
+}
+
+
+def test_github_commit_row():
+    row = github.commit_row(API_COMMIT)
+    assert row["sha1"] == "abc123"
+    assert row["author"] == "alice" and row["committer"] == "bob"
+    assert row["shortInfo"] == "fix: something"
+    assert row["commitDate"] == datetime(2021, 1, 1, 11, 0)
+    f = row["filesChanged"][0]
+    assert (f["linesAdded"], f["linesRemoved"], f["linesChanged"]) == (3, 1, 4)
+
+
+def test_github_pull_row():
+    row = github.pull_row(API_PULL)
+    assert row["number"] == 7 and row["state"] == "closed"
+    assert row["labels"] == ["component=runtime"]
+    assert row["mergeCommit"] == "deadbeef"
+    assert row["mergedAt"] == datetime(2021, 1, 3, 0, 0)
+    assert row["commentsCount"] == 5

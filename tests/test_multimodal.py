@@ -1,0 +1,51 @@
+"""Multimodal plumbing tests — schema, Arrow batch shape, pruning-friendly
+metadata ops.  Decoding itself is stubbed (no media libs in container)."""
+
+from __future__ import annotations
+
+import pytest
+
+from lab_flink_repository_analytics_spark.datapipe import multimodal as MM
+
+
+def _media(spark):
+    rows = [
+        ("m1", "image", "image/png", bytearray(b"\x89PNG fake"), 10, 10, None),
+        ("m2", "image", "image/jpeg", bytearray(b"\xff\xd8 fake"), 20, 20, None),
+        ("m3", "video", "video/mp4", bytearray(b"mp4 fake"), 64, 48, 3500),
+        ("m4", "image", "image/png", None, None, None, None),  # null payload
+    ]
+    return spark.createDataFrame(rows, MM.MEDIA)
+
+
+def test_extract_image_features_shape(spark):
+    out = MM.extract_image_features(_media(spark)).collect()
+    assert len(out) == 4
+    by_id = {r["media_id"]: r for r in out}
+    assert all(len(r["embedding"]) == MM.EMBED_DIM for r in out)
+    assert all(-1.0 <= v < 1.0 for v in by_id["m1"]["embedding"])
+    # deterministic: same payload -> same hash+embedding across runs
+    again = {r["media_id"]: r for r in MM.extract_image_features(_media(spark)).collect()}
+    assert again["m1"]["content_hash"] == by_id["m1"]["content_hash"]
+    assert again["m1"]["embedding"] == by_id["m1"]["embedding"]
+    # null payload handled (hash of empty)
+    assert by_id["m4"]["content_hash"] == "d41d8cd98f00b204e9800998ecf8427e"
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"abc")
+    h, w, _ = MM.decode_image(b"abc", deterministic_fake=True)
+    assert 1 <= h <= 64 and 1 <= w <= 64
+
+
+def test_video_frame_sampling_plan(spark):
+    out = MM.sample_video_frames(_media(spark), every_ms=1000).collect()
+    got = [(r["media_id"], r["frame_ts_ms"]) for r in out]
+    assert got == [("m3", 0), ("m3", 1000), ("m3", 2000), ("m3", 3000)]
+
+
+def test_media_summary(spark):
+    out = {(r["kind"], r["mime"]): (r["n"], r["total_bytes"]) for r in MM.media_summary(_media(spark)).collect()}
+    assert out[("video", "video/mp4")][0] == 1
+    assert out[("image", "image/png")][0] == 2
