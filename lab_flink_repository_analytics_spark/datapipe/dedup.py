@@ -184,6 +184,32 @@ def simhash32(text: Column | str, k: int = 1) -> Column:
     return out
 
 
+def simhash_signatures_df(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Table-scale SimHash: explode tokens → codegen'd hash → one
+    hash-aggregation with 32 per-bit sums (same plan family as
+    :func:`minhash_signatures_df`; ~3× faster than the expression form)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    )
+    h = toks.select("id", md5_hash32(F.col("tok")).alias("h"))
+    sums = [
+        F.sum(
+            F.when((F.shiftright(F.col("h"), i) % 2) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(32)
+    ]
+    agg = h.groupBy("id").agg(*sums)
+    sim = F.lit(0).cast("bigint")
+    for i in range(32):
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return agg.select(F.col("id").alias(id_col), sim.alias("simhash"))
+
+
 def jaccard_tokens(a: Column | str, b: Column | str) -> Column:
     """Exact Jaccard similarity of the distinct-token sets of two texts."""
     ta, tb = F.array_distinct(tokens(a)), F.array_distinct(tokens(b))

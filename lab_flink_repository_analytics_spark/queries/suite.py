@@ -824,7 +824,7 @@ GROUP BY 1, 2
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (token-level)."""
     t = load_tables(spark, sf_dir)
-    return t["documents"].select("doc_id", DD.simhash32("text").alias("simhash"))
+    return DD.simhash_signatures_df(t["documents"])
 
 
 SIMHASH_SQL = """

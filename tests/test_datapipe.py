@@ -105,3 +105,11 @@ def test_fingerprint_normalization(spark):
     fp = {r["doc_id"]: r["fp"] for r in df.select("doc_id", TX.fingerprint("text").alias("fp")).collect()}
     assert fp[1] == fp[2]
     assert fp[1] != fp[3]
+
+
+def test_simhash_df_matches_expression_form(spark):
+    df = _docs(spark)
+    a = {r["doc_id"]: r["simhash"] for r in DD.simhash_signatures_df(df).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in
+         df.select("doc_id", DD.simhash32("text").alias("simhash")).collect()}
+    assert a == b

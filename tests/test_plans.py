@@ -1,0 +1,73 @@
+"""Physical-plan regression tests — the scale contract, not just results.
+
+These pin the plan shapes that matter at 100 TB: filter pushdown into
+parquet scans, column pruning, broadcast of dimension tables, and binary
+payload pruning for metadata-only media queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lab_flink_repository_analytics_spark.datapipe import multimodal as MM
+from lab_flink_repository_analytics_spark.queries import suite
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df, spark) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    plan = _formatted(suite.q1_pricing_summary(spark, sf_dir), spark)
+    assert "LessThanOrEqual(l_shipdate" in plan  # filter reached the scan
+    # column pruning: only the 7 needed columns in the read schema
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_quantity" in read
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    plan = _formatted(suite.q5_local_supplier_volume(spark, sf_dir), spark)
+    assert plan.count("BroadcastHashJoin") >= 4  # dims broadcast, no SMJ cascade
+    assert "EqualTo(r_name,ASIA)" in plan  # dim filter pushed down
+
+
+def test_q3_customer_filter_pushed(spark, sf_dir):
+    plan = _formatted(suite.q3_shipping_priority(spark, sf_dir), spark)
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_commit_activity_single_shuffle_agg(spark, sf_dir):
+    # explode must be pipelined: exactly one exchange below the final agg
+    # (plus AQE wrappers) — a second exchange would mean a mis-planned
+    # pre-explode shuffle
+    df = suite.commit_activity(spark, sf_dir)
+    plan = _formatted(df, spark)
+    exchanges = [l for l in plan.splitlines() if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l]
+    assert len(exchanges) == 1, plan
+
+
+def test_video_frame_sampling_prunes_payload(spark, tmp_path):
+    rows = [("m1", "video", "video/mp4", bytearray(b"x"), 1, 1, 2000)]
+    path = str(tmp_path / "media")
+    spark.createDataFrame(rows, MM.MEDIA).write.parquet(path)
+    df = MM.sample_video_frames(spark.read.parquet(path))
+    plan = _formatted(df, spark)
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "payload" not in read  # binary column pruned from the parquet scan
+    assert "duration_ms" in read
+
+
+def test_ann_broadcasts_queries(spark, sf_dir):
+    from lab_flink_repository_analytics_spark.datapipe import similarity as SIM
+    from lab_flink_repository_analytics_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    df = SIM.brute_force_topk(emb.filter(F.col("vec_id") < 2), emb, k=3)
+    assert "BroadcastNestedLoopJoin" in _plan(df) or "BroadcastHashJoin" in _plan(df)
