@@ -252,3 +252,42 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    block_cols: list[str],
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key.
+
+    The semantic-dedup counterpart of :func:`ngram_jaccard_pairs`: pairs
+    whose embedding cosine ≥ ``threshold``, quadratic only inside each
+    block (a cluster id, LSH bucket — see ``similarity.lsh_bucket`` — or
+    any partition column).  The join is hash-partitioned on the block key,
+    never all-pairs; norms are computed once per row before the join.
+    """
+    from lab_flink_repository_analytics_spark.datapipe import similarity as SIM
+
+    sel = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        SIM.norm(vec_col).alias("nrm"),
+        *block_cols,
+    )
+    left, right = sel.alias("l"), sel.alias("r")
+    cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols] + [
+        F.col("l.id") < F.col("r.id")
+    ]
+    cos = SIM.dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm"))
+    return (
+        left.join(right, on=cond)
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

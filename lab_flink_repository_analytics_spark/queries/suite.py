@@ -888,6 +888,128 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def largest_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LargestStringArrayAgg surface (ref LargestStringArrayAggFunction
+    .java:12-39): per (source, lang), the token array with the greatest
+    cardinality; ties keep the earliest doc (strictly-greater replaces)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select("source", "lang", F.split("text", " ").alias("t"), "doc_id")
+        .groupBy("source", "lang")
+        .agg(AGG.largest_array_agg("t", F.col("doc_id")).alias("largest_tokens"))
+    )
+
+
+LARGEST_DOC_TOKENS_SQL = """
+WITH toks AS (SELECT source, lang, doc_id, string_split(text, ' ') AS t FROM documents),
+r AS (
+  SELECT source, lang, t,
+         row_number() OVER (PARTITION BY source, lang ORDER BY len(t) DESC, doc_id) AS rn
+  FROM toks
+)
+SELECT source, lang, t AS largest_tokens FROM r WHERE rn = 1
+"""
+
+
+def last_props_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LastValueStringArrayAgg surface (ref LastValueStringArrayAggFunction
+    .java:12-39): last non-null array value per user in event order —
+    error events mask to NULL and must not reset the state."""
+    t = load_tables(spark, sf_dir)
+    arr = F.when(
+        F.col("event_type") != "error",
+        F.array(F.col("event_type"), F.get_json_object("props", "$.k")),
+    )
+    return (
+        t["events"]
+        .select("user_id", arr.alias("a"), "event_id")
+        .groupBy("user_id")
+        .agg(AGG.last_value_array_agg("a", "event_id").alias("last_props"))
+    )
+
+
+LAST_PROPS_ARRAY_SQL = """
+SELECT user_id,
+       last(a ORDER BY event_id) FILTER (WHERE a IS NOT NULL) AS last_props
+FROM (
+  SELECT user_id, event_id,
+         CASE WHEN event_type <> 'error'
+              THEN [event_type, json_extract_string(props, '$.k')] END AS a
+  FROM events
+) GROUP BY user_id
+"""
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label."""
+    t = load_tables(spark, sf_dir)
+    return DD.embedding_near_dup_pairs(t["embeddings"], ["label"], threshold=0.3)
+
+
+EMBEDDING_NEAR_DUP_SQL = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+              i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+  FROM embeddings
+), scored AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         round(list_sum(list_transform(generate_series(1, len(l.v)),
+               i -> l.v[i] * r.v[i])) / (l.nrm * r.nrm), 6) AS cos_sim
+  FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.3
+"""
+
+
+ANN_LSH_NBITS = 4
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the scale path: each query scans
+    only its hyperplane bucket, ~1/2^nbits of the candidates)."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return SIM.lsh_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=10, nbits=ANN_LSH_NBITS
+    )
+
+
+def _lsh_bucket_sql(v: str, nbits: int) -> str:
+    """DuckDB expression reproducing similarity.lsh_bucket bit-for-bit
+    (same ±1 hyperplane rule, 0-based dim index)."""
+    terms = []
+    for b in range(nbits):
+        sign = f"CASE WHEN ((i-1)*{2 * b + 3} + {b * 7}) % 4 < 2 THEN 1.0 ELSE -1.0 END"
+        proj = (
+            f"list_sum(list_transform(generate_series(1, len({v})), "
+            f"i -> {v}[i] * ({sign})))"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+ANN_LSH_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+eb AS (SELECT vec_id, v, {_lsh_bucket_sql("v", ANN_LSH_NBITS)} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * c.v[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))
+          * sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))) AS score
+  FROM q JOIN eb c ON q.bucket = c.bucket AND q.query_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(score, 6) AS cos_sim
+FROM ranked WHERE rank <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -920,6 +1042,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": simhash_fingerprints,
         "jaccard_blocked_pairs": jaccard_blocked_pairs,
         "ann_cosine_topk": ann_cosine_topk,
+        "largest_doc_tokens": largest_doc_tokens,
+        "last_props_array": last_props_array,
+        "embedding_near_dup": embedding_near_dup,
+        "ann_lsh_topk": ann_lsh_topk,
     }
 
 
@@ -951,4 +1077,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprints": SIMHASH_SQL,
         "jaccard_blocked_pairs": JACCARD_SQL,
         "ann_cosine_topk": ANN_SQL,
+        "largest_doc_tokens": LARGEST_DOC_TOKENS_SQL,
+        "last_props_array": LAST_PROPS_ARRAY_SQL,
+        "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
+        "ann_lsh_topk": ANN_LSH_SQL,
     }

@@ -113,3 +113,19 @@ def test_simhash_df_matches_expression_form(spark):
     b = {r["doc_id"]: r["simhash"] for r in
          df.select("doc_id", DD.simhash32("text").alias("simhash")).collect()}
     assert a == b
+
+
+def test_embedding_near_dup_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], "a"),
+        (2, [0.9, 0.1, 0.0], "a"),   # near-dup of 1 (same block)
+        (3, [0.0, 1.0, 0.0], "a"),   # orthogonal to 1
+        (4, [1.0, 0.0, 0.0], "b"),   # identical to 1 but different block
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id: int, embedding: array<double>, label: string"
+    )
+    out = DD.embedding_near_dup_pairs(emb, ["label"], threshold=0.8).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in out}
+    assert set(pairs) == {(1, 2)}  # blocking excludes (1,4); threshold drops (1,3)
+    assert pairs[(1, 2)] > 0.99
