@@ -106,7 +106,9 @@ def minhash_signatures_df(
     computes all N_PERMS mins with map-side partials — shuffle volume is
     N_PERMS longs per doc regardless of document size.
     """
-    sh = docs.select(
+    from lab_flink_repository_analytics_spark.session import rebalance
+
+    sh = rebalance(docs).select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s")
     )
     h = sh.select("id", md5_hash32(F.col("s")).alias("h"))
@@ -190,7 +192,9 @@ def simhash_signatures_df(
     """Table-scale SimHash: explode tokens → codegen'd hash → one
     hash-aggregation with 32 per-bit sums (same plan family as
     :func:`minhash_signatures_df`; ~3× faster than the expression form)."""
-    toks = docs.select(
+    from lab_flink_repository_analytics_spark.session import rebalance
+
+    toks = rebalance(docs).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
     )
@@ -230,9 +234,11 @@ def ngram_jaccard_pairs(
     Blocking keeps this quadratic only inside each block — callers choose
     block columns so blocks stay small (or feed LSH candidates instead).
     """
+    from lab_flink_repository_analytics_spark.session import rebalance
+
     # tokenize once per doc BEFORE the self-join — token arrays are computed
     # O(docs) times instead of O(pairs) times
-    sel = docs.select(
+    sel = rebalance(docs).select(
         F.col(id_col).alias("id"),
         F.array_distinct(tokens(text_col)).alias("toks"),
         *block_cols,

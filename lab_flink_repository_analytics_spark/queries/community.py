@@ -80,12 +80,16 @@ def commit_activity_per_component(
     canonical per SURVEY.md §7 hard-part 5.
 
     Plan shape at scale: explode is pipelined (no shuffle), the single
-    shuffle is the window×component aggregation with map-side partial sum.
+    shuffle is the window×component aggregation with map-side partial sum;
+    a narrow source is rebalanced first so the explode+regex stage uses the
+    whole cluster (no-op when the scan already has enough splits).
     """
+    from lab_flink_repository_analytics_spark.session import rebalance
+
     f = F.explode("filesChanged").alias("f")
     w = F.window("commitDate", window)
     return (
-        commits.select(w.alias("w"), f)
+        rebalance(commits).select(w.alias("w"), f)
         .select("w", get_source_component(F.col("f.filename")).alias("component"), F.col("f.linesChanged").alias("lines"))
         .groupBy("w", "component")
         .agg(F.sum("lines").alias("lines_changed"))

@@ -68,6 +68,24 @@ def get_spark(
     return spark
 
 
+def rebalance(df, factor: int = 1):
+    """Ensure at least ``defaultParallelism × factor`` partitions before a
+    data-amplifying stage (explode of shingles/files, quadratic block join).
+
+    Narrow sources (one small parquet file, a single kafka partition) would
+    otherwise run the whole amplification on one core — AQE only re-plans
+    *shuffle* boundaries, not map stages.  On a real cluster reading 100 TB
+    the scan already has thousands of splits, so this is a no-op there and
+    the extra shuffle is never paid; it only fires when the source is
+    narrower than the cluster.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     """Register the driver's parquet tables as temp views and return them.
 
