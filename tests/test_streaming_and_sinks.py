@@ -80,6 +80,89 @@ def test_streaming_users_per_window(spark, tmp_path):
     assert len(out) == 1 and out[0]["cnt"] == 2
 
 
+def _run_profiles(spark, src, out, ckpt):
+    from lab_flink_repository_analytics_spark.streaming import stateful
+
+    emails = (
+        spark.readStream.schema("person string, email string, ts timestamp")
+        .parquet(src)
+        .withWatermark("ts", "1 day")
+    )
+    profiles = stateful.email_profiles_stream(emails)
+
+    def _upsert(batch_df, batch_id):
+        if not batch_df.isEmpty():
+            sinks.upsert_by_key(batch_df.sparkSession, batch_df, out, ["person"])
+
+    q = (
+        profiles.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(_upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stateful_email_profiles_across_batches(spark, tmp_path):
+    src = str(tmp_path / "emails")
+    out = str(tmp_path / "profiles")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "person string, email string, ts timestamp"
+
+    batch1 = [
+        ("john", "john@test.com", datetime(2021, 1, 1)),
+        ("john", "john@gmail.com", datetime(2021, 1, 2)),  # freemail: no company change
+        ("jane", "jane@data-artisans.com", datetime(2021, 1, 1)),
+    ]
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+    _run_profiles(spark, src, out, ckpt)
+    got = {r["person"]: r for r in spark.read.parquet(out).collect()}
+    assert got["john"]["company"] == "test.com"
+    assert got["john"]["companySince"] == datetime(2021, 1, 1)
+    assert got["john"]["aliases"] == ["john@test.com", "john@gmail.com"]
+    assert got["jane"]["company"] == "ververica.com"  # historic-domain rewrite
+
+    # second batch: company change for john — state must carry across the
+    # restart (checkpointed state store), since must re-stamp
+    batch2 = [("john", "john@new.io", datetime(2021, 2, 1))]
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+    _run_profiles(spark, src, out, ckpt)
+    got2 = {r["person"]: r for r in spark.read.parquet(out).collect()}
+    assert got2["john"]["company"] == "new.io"
+    assert got2["john"]["companySince"] == datetime(2021, 2, 1)
+    assert got2["john"]["aliases"] == [
+        "john@test.com",
+        "john@gmail.com",
+        "john@new.io",
+    ]
+    assert got2["jane"]["company"] == "ververica.com"  # untouched key survives
+
+
+def test_exact_dedup_stream(spark, tmp_path):
+    from lab_flink_repository_analytics_spark.streaming import stateful
+
+    src = str(tmp_path / "docs")
+    rows = [
+        (1, "aaa", datetime(2021, 1, 1, 10)),
+        (2, "aaa", datetime(2021, 1, 1, 11)),  # dup fingerprint within watermark
+        (3, "bbb", datetime(2021, 1, 1, 12)),
+    ]
+    spark.createDataFrame(rows, "doc_id int, fp string, ts timestamp").write.parquet(src)
+    stream = spark.readStream.schema("doc_id int, fp string, ts timestamp").parquet(src)
+    deduped = stateful.exact_dedup_stream(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["fp"] for r in spark.sql("SELECT * FROM dedup_stream").collect())
+    assert got == ["aaa", "bbb"]
+
+
 def test_upsert_by_key_converges(spark, tmp_path):
     path = str(tmp_path / "ds")
     df1 = spark.createDataFrame([("a", 1, 10), ("b", 1, 20)], "k: string, w: int, v: int")
