@@ -276,8 +276,9 @@ def embedding_near_dup_pairs(
     never all-pairs; norms are computed once per row before the join.
     """
     from lab_flink_repository_analytics_spark.datapipe import similarity as SIM
+    from lab_flink_repository_analytics_spark.session import rebalance
 
-    sel = emb.select(
+    sel = rebalance(emb).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         SIM.norm(vec_col).alias("nrm"),

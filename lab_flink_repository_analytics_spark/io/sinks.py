@@ -86,6 +86,28 @@ def to_kafka_json(df: DataFrame, key_cols: list[str] | None = None) -> DataFrame
     return df.select(key.alias("key"), value.alias("value"))
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on its join key.
+
+    The 100 TB co-location strategy: two tables bucketed on the same key
+    with the same bucket count join with **no shuffle of either side** (and
+    no sort when ``sort_cols`` matches) — the per-bucket files are read
+    pre-partitioned.  Worth it for any fact table joined repeatedly on the
+    same key (e.g. lineitem ⋈ orders on orderkey); bucket count should be
+    sized so one bucket of the largest table fits an executor's memory.
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table, format="parquet")
+
+
 def fan_out(df: DataFrame, writers: list) -> None:
     """One source, N sinks (≙ the reference's StatementSet multi-insert,
     FlinkMailingListToKafka.java:169-174).  Caches the source once."""

@@ -63,6 +63,34 @@ def test_video_frame_sampling_prunes_payload(spark, tmp_path):
     assert "duration_ms" in read
 
 
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    from lab_flink_repository_analytics_spark.io import sinks
+    from lab_flink_repository_analytics_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        sinks.write_bucketed(t["orders"], "b_orders", ["o_orderkey"], 8, ["o_orderkey"])
+        sinks.write_bucketed(
+            t["lineitem"].select("l_orderkey", "l_quantity"),
+            "b_lineitem",
+            ["l_orderkey"],
+            8,
+            ["l_orderkey"],
+        )
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan  # co-located: no shuffle either side
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_ann_broadcasts_queries(spark, sf_dir):
     from lab_flink_repository_analytics_spark.datapipe import similarity as SIM
     from lab_flink_repository_analytics_spark.session import load_tables
