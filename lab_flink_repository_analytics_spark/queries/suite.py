@@ -1010,6 +1010,64 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def changelog_net_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog-mode surface (ref ListAggITCase112.java:50-62, 'I,UA,UB,D'
+    values source): events replayed as an un-keyed changelog — every event
+    inserts its (user, type) row, every 7th also retracts one instance —
+    then materialized to the net multiset and counted."""
+    from lab_flink_repository_analytics_spark import changelog as CL
+
+    t = load_tables(spark, sf_dir)
+    base = t["events"].select("user_id", "event_type", "event_id")
+    adds = base.select(F.lit("+I").alias("kind"), "user_id", "event_type")
+    retracts = (
+        base.filter(F.col("event_id") % 7 == 0)
+        .select(F.lit("-U").alias("kind"), "user_id", "event_type")
+    )
+    ch = adds.unionByName(retracts)
+    return (
+        CL.materialize_multiset(ch)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+CHANGELOG_NET_SQL = """
+SELECT user_id, event_type,
+       CAST(count(*) - count(*) FILTER (WHERE event_id % 7 = 0) AS BIGINT) AS n
+FROM events GROUP BY user_id, event_type
+HAVING count(*) - count(*) FILTER (WHERE event_id % 7 = 0) > 0
+"""
+
+
+def changelog_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-keyed changelog surface (ref LastNonNullValueAggFunction
+    ITCase.java:88-92, PRIMARY KEY upsert source): events as per-user
+    upserts in event order; an 'error' event deletes the key."""
+    from lab_flink_repository_analytics_spark import changelog as CL
+
+    t = load_tables(spark, sf_dir)
+    ch = t["events"].select(
+        F.when(F.col("event_type") == "error", F.lit("-D"))
+        .otherwise(F.lit("+U"))
+        .alias("kind"),
+        "user_id",
+        F.col("value").alias("v"),
+        F.col("event_id").alias("pos"),
+    )
+    return CL.materialize_upserts(ch, ["user_id"], "pos")
+
+
+CHANGELOG_UPSERT_SQL = """
+WITH last AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, value AS v FROM last WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1046,6 +1104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "last_props_array": last_props_array,
         "embedding_near_dup": embedding_near_dup,
         "ann_lsh_topk": ann_lsh_topk,
+        "changelog_net_counts": changelog_net_counts,
+        "changelog_upsert_state": changelog_upsert_state,
     }
 
 
@@ -1081,4 +1141,6 @@ def oracle_sql() -> dict[str, str]:
         "last_props_array": LAST_PROPS_ARRAY_SQL,
         "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
         "ann_lsh_topk": ANN_LSH_SQL,
+        "changelog_net_counts": CHANGELOG_NET_SQL,
+        "changelog_upsert_state": CHANGELOG_UPSERT_SQL,
     }

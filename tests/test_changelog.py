@@ -1,0 +1,92 @@
+"""Changelog materialization vs the reference's retraction fixtures.
+
+Each case replays a reference ITCase changelog input and asserts our
+final-state materialization + aggregate equals the *net* of the reference's
+asserted RowKind sequence (fold +I/+U as add, -U/-D as remove).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lab_flink_repository_analytics_spark import changelog as CL
+from lab_flink_repository_analytics_spark.functions import aggregate as AGG
+
+
+def _cdf(spark, rows, schema="kind string, name string, age int"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_multiset_listagg1(spark):
+    # ListAggITCase112.testListAgg1: I(john,32) I(john,32) UB(john,32)
+    # UA(john,33) → net final: {32: john, 33: john}
+    df = _cdf(
+        spark,
+        [("+I", "john", 32), ("+I", "john", 32), ("-U", "john", 32), ("+U", "john", 33)],
+    )
+    final = (
+        CL.materialize_multiset(df)
+        .groupBy("age")
+        .agg(AGG.list_agg("name", order_by="name").alias("names"))
+    )
+    got = {r["age"]: r["names"] for r in final.collect()}
+    assert got == {32: "john", 33: "john"}
+
+
+def test_multiset_listagg2(spark):
+    # testListAgg2: I(john,32) UB(john,32) UA(john,33) → reference emits
+    # I 32, D 32, I 33 — net final: {33: john}
+    df = _cdf(spark, [("+I", "john", 32), ("-U", "john", 32), ("+U", "john", 33)])
+    final = (
+        CL.materialize_multiset(df)
+        .groupBy("age")
+        .agg(AGG.list_agg("name", order_by="name").alias("names"))
+    )
+    got = {r["age"]: r["names"] for r in final.collect()}
+    assert got == {33: "john"}
+
+
+def test_multiset_full_delete(spark):
+    df = _cdf(spark, [("+I", "a", 1), ("-D", "a", 1)])
+    assert CL.materialize_multiset(df).count() == 0
+
+
+def test_multiset_multiplicity(spark):
+    # two identical inserts, one retraction → one surviving instance
+    df = _cdf(spark, [("+I", "a", 1), ("+I", "a", 1), ("-U", "a", 1)])
+    out = CL.materialize_multiset(df).collect()
+    assert len(out) == 1 and out[0]["name"] == "a"
+
+
+def test_upsert_last_wins_and_delete(spark):
+    # primary-keyed source (LastNonNullValueAggFunctionITCase.java:88-92):
+    # upserts by key f0; a trailing delete removes the key
+    rows = [
+        ("+I", 1, "x", 0),
+        ("+U", 1, "y", 1),
+        ("+I", 2, "p", 2),
+        ("-D", 2, None, 3),
+        ("+I", 3, "q", 4),
+    ]
+    df = spark.createDataFrame(rows, "kind string, f0 int, v string, pos long")
+    out = {
+        r["f0"]: r["v"]
+        for r in CL.materialize_upserts(df, ["f0"], "pos").collect()
+    }
+    assert out == {1: "y", 3: "q"}
+
+
+def test_upsert_then_last_non_null_agg(spark):
+    # end-to-end: keyed changelog → materialize → LastNonNullValue over the
+    # final state (the reference pipes the same changelog into the UDAF)
+    rows = [
+        ("+I", 1, "a", 0),
+        ("+U", 1, None, 1),  # null value must not count as the last
+        ("+I", 2, "b", 2),
+    ]
+    df = spark.createDataFrame(rows, "kind string, f0 int, v string, pos long")
+    final = CL.materialize_upserts(df, ["f0"], "pos")
+    agg = final.select(
+        AGG.last_non_null_value_agg("v", "f0").alias("last_v")
+    ).collect()[0]
+    assert agg["last_v"] == "b"
