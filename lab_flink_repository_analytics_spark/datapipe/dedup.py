@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from lab_flink_repository_analytics_spark.datapipe.text import tokens
+from lab_flink_repository_analytics_spark.datapipe.text import md5_hash32, tokens
 
 # Fixed MinHash permutation parameters (a*h + b) mod P.  Literals, not
 # runtime-random: signatures must be stable across runs and engines.
@@ -38,11 +38,6 @@ LSH_BANDS = 4  # 4 bands x 2 rows over the 8-perm signature
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
-
-
-def md5_hash32(col: Column) -> Column:
-    """Portable 32-bit hash: first 8 hex chars of md5 as a BIGINT."""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
 def exact_fingerprint(text: Column | str) -> Column:

@@ -25,6 +25,28 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text)).cast("int")
 
 
+#: Subword-ish lexer classes: word / number / single non-space symbol.
+#: Deliberately lookahead-free and \s-free so java.util.regex (Spark) and
+#: RE2 (DuckDB) tokenize identically.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^ A-Za-z0-9]"
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-style pre-tokenization (the word/number/punct split every BPE
+    tokenizer applies before merges): one element per lexer match."""
+    return F.regexp_extract_all(_c(text), F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    return F.size(bpe_ish_tokens(text)).cast("int")
+
+
+def md5_hash32(col: Column | str) -> Column:
+    """Portable 32-bit hash: first 8 hex chars of md5 as a BIGINT (the
+    engine-wide hashing rule — a DuckDB oracle reproduces it exactly)."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 8), 16, 10).cast("bigint")
+
+
 #: Tiny English stopword core used by quality scoring / language-ID.
 STOPWORDS_EN = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "for"]
 MARKERS_DE = ["der", "die", "das", "und", "ist", "ein", "mit", "nicht"]
@@ -97,3 +119,90 @@ def fingerprint(text: Column | str) -> Column:
     across engines (oracle reproduces it exactly).
     """
     return F.md5(normalize_text(text))
+
+
+def winnow_fingerprints(
+    text: Column | str, k: int = 3, w: int = 4
+) -> Column:
+    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken): hash every
+    k-token shingle, slide a window of ``w`` hashes, keep each window's
+    minimum — the classic rolling-hash document fingerprint whose selected
+    set is robust to local edits.  Returns a sorted distinct ARRAY<BIGINT>.
+
+    Pure per-row expressions (no shuffle, runs in the scan stage); the
+    guarantee that any shared run of ``w+k-1`` tokens yields a shared
+    fingerprint is what makes this usable for partial-overlap detection at
+    corpus scale (join on exploded fingerprints).
+
+    Expression form — fine for a handful of rows; for table scale use
+    :func:`winnow_fingerprints_df`: HOF lambdas are interpreted and the
+    shingle-hash array is re-evaluated per window position here (O(n²)
+    hashing), while the DataFrame form hashes each shingle once.
+    """
+    t = _c(text)
+    toks = tokens(t)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    hs = F.transform(grams, md5_hash32)
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size(hs) - w),
+        lambda i: F.array_min(F.slice(hs, i + 1, w)),
+    )
+    # short docs: fewer than w shingles → single global min; fewer than k
+    # tokens → hash of the whole text
+    short = F.array(F.array_min(hs))
+    tiny = F.array(md5_hash32(t))
+    sel = F.when(n < k, tiny).when(F.size(hs) < w, short).otherwise(wins)
+    return F.array_sort(F.array_distinct(sel))
+
+
+def winnow_fingerprints_df(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+):
+    """Table-scale winnowing: one row per doc with ``fps ARRAY<BIGINT>``.
+
+    Plan: posexplode ordered shingles (tiny docs contribute the whole text
+    as their one shingle) → hash each once in codegen → per-doc sliding
+    ``min`` via a window function over one hash-partition-by-doc shuffle →
+    collect the distinct minima (the groupBy reuses the window's
+    partitioning, so no second exchange).  Shuffle volume is one long per
+    shingle — no quadratic re-hashing anywhere.
+    """
+    from lab_flink_repository_analytics_spark.session import rebalance
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    g = F.when(n >= k, grams).otherwise(F.array(t))
+    ex = (
+        rebalance(docs)
+        .select(F.col(id_col).alias("id"), F.posexplode(g).alias("pos", "gram"))
+        .select("id", "pos", md5_hash32(F.col("gram")).alias("h"))
+    )
+    sliding = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    per_doc = Window.partitionBy("id")
+    wins = ex.select(
+        "id",
+        "pos",
+        F.min("h").over(sliding).alias("m"),
+        F.count(F.lit(1)).over(per_doc).alias("nh"),
+    ).filter(F.col("pos") <= F.greatest(F.col("nh") - w, F.lit(0)))
+    return wins.groupBy("id").agg(
+        F.array_sort(F.collect_set("m")).alias("fps")
+    ).select(F.col("id").alias(id_col), "fps")

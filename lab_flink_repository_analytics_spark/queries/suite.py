@@ -1010,6 +1010,58 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def subword_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization counts vs whitespace counts per doc."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        TX.token_count("text").alias("ws_tokens"),
+        TX.bpe_ish_token_count("text").alias("subword_tokens"),
+    )
+
+
+SUBWORD_TOKEN_SQL = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{TX.BPE_ISH_PATTERN}')) AS INT) AS subword_tokens
+FROM documents
+"""
+
+
+WINNOW_K, WINNOW_W = 3, 4
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprint set per document."""
+    t = load_tables(spark, sf_dir)
+    return TX.winnow_fingerprints_df(t["documents"], k=WINNOW_K, w=WINNOW_W)
+
+
+WINNOWING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id, text, len(t) AS n,
+    list_transform(generate_series(1, len(t) - {WINNOW_K - 1}),
+      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS grams
+  FROM toks
+), hs AS (
+  SELECT doc_id, text, n,
+    list_transform(grams, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS h
+  FROM sh
+), sel AS (
+  SELECT doc_id,
+    CASE WHEN n < {WINNOW_K} THEN [('0x' || substr(md5(text), 1, 8))::BIGINT]
+         WHEN len(h) < {WINNOW_W} THEN [list_min(h)]
+         ELSE list_transform(generate_series(1, len(h) - {WINNOW_W - 1}),
+              i -> list_min(h[i:i+{WINNOW_W - 1}]))
+    END AS wins
+  FROM hs
+)
+SELECT doc_id, list_sort(list_distinct(wins)) AS fps FROM sel
+"""
+
+
 def changelog_net_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog-mode surface (ref ListAggITCase112.java:50-62, 'I,UA,UB,D'
     values source): events replayed as an un-keyed changelog — every event
@@ -1106,6 +1158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "changelog_net_counts": changelog_net_counts,
         "changelog_upsert_state": changelog_upsert_state,
+        "subword_token_counts": subword_token_counts,
+        "winnowing_fingerprints": winnowing_fingerprints,
     }
 
 
@@ -1143,4 +1197,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": ANN_LSH_SQL,
         "changelog_net_counts": CHANGELOG_NET_SQL,
         "changelog_upsert_state": CHANGELOG_UPSERT_SQL,
+        "subword_token_counts": SUBWORD_TOKEN_SQL,
+        "winnowing_fingerprints": WINNOWING_SQL,
     }

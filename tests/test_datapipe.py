@@ -115,6 +115,44 @@ def test_simhash_df_matches_expression_form(spark):
     assert a == b
 
 
+def test_bpe_ish_tokens(spark):
+    df = spark.createDataFrame([("Hello, world42! x",)], "text: string")
+    out = df.select(TX.bpe_ish_tokens("text").alias("t")).collect()[0]["t"]
+    assert out == ["Hello", ",", "world", "42", "!", "x"]
+
+
+def test_winnow_df_matches_expression_form(spark):
+    df = _docs(spark)
+    a = {r["doc_id"]: r["fps"] for r in TX.winnow_fingerprints_df(df).collect()}
+    b = {
+        r["doc_id"]: r["fps"]
+        for r in df.select(
+            "doc_id", TX.winnow_fingerprints("text").alias("fps")
+        ).collect()
+    }
+    assert a == b
+    assert len(a) == df.count()  # tiny docs fingerprint too
+
+
+def test_winnow_shared_run_guarantee(spark):
+    # winnowing guarantee: two docs sharing a run of >= w+k-1 tokens share
+    # at least one fingerprint; disjoint docs share none
+    k, w = 3, 4
+    shared = "s1 s2 s3 s4 s5 s6"  # 6 tokens = w+k-1
+    rows = [
+        (1, "a1 a2 " + shared + " a3"),
+        (2, "b1 " + shared + " b2 b3 b4"),
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: int, text: string")
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in TX.winnow_fingerprints_df(df, k=k, w=w).collect()
+    }
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
 def test_embedding_near_dup_pairs(spark):
     rows = [
         (1, [1.0, 0.0, 0.0], "a"),
