@@ -117,6 +117,110 @@ def lsh_bucket(vec: Column | str, nbits: int = LSH_NBITS) -> Column:
     return out.cast("int")
 
 
+def sampled_centroids(
+    vectors: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse quantizer: the ``n_lists`` lowest-id vectors.
+
+    The IVF recall/speed trade-off only depends on centroid *quality*;
+    sampling keeps the whole pipeline engine-portable (a DuckDB oracle can
+    reproduce it).  For production recall, train with
+    :func:`kmeans_centroids` instead — the query plan is identical.
+    """
+    return (
+        vectors.orderBy(id_col)
+        .limit(n_lists)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    )
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Trained coarse quantizer via Spark MLlib k-means (JVM-side Lloyd)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = vectors.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_lists, seed=seed).fit(feats)
+    spark = vectors.sparkSession
+    rows = [(i, list(map(float, c))) for i, c in enumerate(model.clusterCenters())]
+    return spark.createDataFrame(rows, "cid int, cv array<double>")
+
+
+def ivf_assignments(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n_best: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Rank each vector's centroids by cosine; keep the best ``n_best``.
+
+    Centroids broadcast; the big side is scanned once with no shuffle
+    before the per-vector rank (window partitioned by vector id).
+    """
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    pairs = v.crossJoin(F.broadcast(centroids)).select(
+        "id", "v", "cid", cosine("v", "cv").alias("cs")
+    )
+    wnd = Window.partitionBy("id").orderBy(F.col("cs").desc(), F.col("cid"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= n_best)
+        .select("id", "v", "cid", "rn")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: candidates live in exactly one inverted list
+    (their nearest centroid); each query probes its ``nprobe`` nearest
+    lists and scores only those lists' members — a ``nprobe/n_lists``
+    fraction of the data.  At scale the candidate side is written
+    partitioned/bucketed by ``cid`` so a probe is a partition-pruned scan.
+    """
+    cand = ivf_assignments(candidates, centroids, 1, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv2"), "cid"
+    )
+    probes = ivf_assignments(queries, centroids, nprobe, id_col, vec_col).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), "cid"
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(cand, on="cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine("qv", "cv2").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("score", 6).alias("cos_sim"),
+        )
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,

@@ -1062,6 +1062,54 @@ SELECT doc_id, list_sort(list_distinct(wins)) AS fps FROM sel
 """
 
 
+IVF_NLISTS, IVF_NPROBE = 16, 2
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (deterministic sampled coarse quantizer,
+    nprobe=2 of 16 lists — each query scans ~1/8 of the candidates)."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    cents = SIM.sampled_centroids(emb, IVF_NLISTS)
+    return SIM.ivf_topk(
+        emb.filter(F.col("vec_id") < 5), emb, cents, k=10, nprobe=IVF_NPROBE
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
+        f" / (sqrt(list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {a}[i])))"
+        f" * sqrt(list_sum(list_transform(generate_series(1, len({b})), i -> {b}[i] * {b}[i]))))"
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {IVF_NLISTS}),
+pairs AS (
+  SELECT e.vec_id, e.v, c.cid, c.cv, {_cos_sql("e.v", "c.cv")} AS cs
+  FROM e, c
+), asg AS (
+  SELECT vec_id, v, cid, cs,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+  FROM pairs
+), cand AS (SELECT vec_id AS neighbor_id, v AS cv2, cid FROM asg WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, v AS qv, cid FROM asg
+           WHERE rn <= {IVF_NPROBE} AND vec_id < 5),
+scored AS (
+  SELECT query_id, neighbor_id, {_cos_sql("qv", "cv2")} AS score
+  FROM probes JOIN cand USING (cid) WHERE query_id <> neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(score, 6) AS cos_sim
+FROM ranked WHERE rank <= 10
+"""
+
+
 def changelog_net_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog-mode surface (ref ListAggITCase112.java:50-62, 'I,UA,UB,D'
     values source): events replayed as an un-keyed changelog — every event
@@ -1160,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog_upsert_state": changelog_upsert_state,
         "subword_token_counts": subword_token_counts,
         "winnowing_fingerprints": winnowing_fingerprints,
+        "ann_ivf_topk": ann_ivf_topk,
     }
 
 
@@ -1199,4 +1248,5 @@ def oracle_sql() -> dict[str, str]:
         "changelog_upsert_state": CHANGELOG_UPSERT_SQL,
         "subword_token_counts": SUBWORD_TOKEN_SQL,
         "winnowing_fingerprints": WINNOWING_SQL,
+        "ann_ivf_topk": ANN_IVF_SQL,
     }

@@ -115,6 +115,51 @@ def test_simhash_df_matches_expression_form(spark):
     assert a == b
 
 
+def _emb(spark, n=40, dim=8):
+    import math
+    rows = []
+    for i in range(n):
+        # deterministic ring + radial mix: clusterable, no ties
+        a = 2 * math.pi * (i % 10) / 10
+        r = 1.0 + (i // 10) * 0.1
+        rows.append((i, [r * math.cos(a), r * math.sin(a)] + [0.01 * ((i * j) % 7) for j in range(dim - 2)]))
+    return spark.createDataFrame(rows, "vec_id: int, embedding: array<double>")
+
+
+def test_ivf_topk_recall_vs_brute(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 3)
+    cents = SIM.sampled_centroids(emb, 8)
+    ivf = SIM.ivf_topk(q, emb, cents, k=5, nprobe=3)
+    brute = SIM.brute_force_topk(q, emb, k=5)
+    top1_ivf = {r["query_id"]: r["neighbor_id"] for r in ivf.filter("rank = 1").collect()}
+    top1_brute = {r["query_id"]: r["neighbor_id"] for r in brute.filter("rank = 1").collect()}
+    # each query's true nearest neighbor sits in a probed list here
+    assert top1_ivf == top1_brute
+    # every IVF result scores correctly (subset of brute's scored universe)
+    bs = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in brute.collect()}
+    for r in ivf.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bs:
+            assert abs(bs[key] - r["cos_sim"]) < 1e-9
+
+
+def test_kmeans_centroids_trainer(spark):
+    try:
+        import pyspark.ml  # noqa: F401
+    except ImportError:
+        import pytest
+        pytest.skip("pyspark.ml unavailable")
+    emb = _emb(spark)
+    cents = SIM.kmeans_centroids(emb, n_lists=4)
+    rows = cents.collect()
+    assert len(rows) == 4
+    assert all(len(r["cv"]) == 8 for r in rows)
+    # trained quantizer slots into the identical query plan
+    out = SIM.ivf_topk(emb.filter(F.col("vec_id") < 2), emb, cents, k=3, nprobe=2)
+    assert out.filter("rank = 1").count() == 2
+
+
 def test_bpe_ish_tokens(spark):
     df = spark.createDataFrame([("Hello, world42! x",)], "text: string")
     out = df.select(TX.bpe_ish_tokens("text").alias("t")).collect()[0]["t"]
