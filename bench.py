@@ -30,9 +30,22 @@ def main():
     sf = float(m.group(1)) if m else -1.0
 
     spark = get_spark(app_name="bench")
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # plans, not session startup
-    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+    # warm the JVM once so per-query numbers measure the plans, not session
+    # startup: parquet footers of every table + one codegen'd shuffle
+    from lab_flink_repository_analytics_spark.session import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.limit(1).collect()
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(100_000)
+        .groupBy((F.col("id") % 8).alias("k"))
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     times: dict[str, float] = {}
     total = 0.0
