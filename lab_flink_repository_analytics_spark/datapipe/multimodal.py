@@ -133,11 +133,15 @@ def sample_video_frames(
     """
     if not deterministic_fake:
         raise NotImplementedError("frame extraction requires ffmpeg")
-    frames = F.sequence(
-        F.lit(0), F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)), F.lit(every_ms)
-    )
+    frames = F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
     return (
-        media.filter(F.col("kind") == "video")
+        # a video with NULL/zero duration has no frames to sample — filter,
+        # don't emit a phantom frame-0 row for it
+        media.filter(
+            (F.col("kind") == "video")
+            & F.col("duration_ms").isNotNull()
+            & (F.col("duration_ms") > 0)
+        )
         .select("media_id", F.explode(frames).alias("frame_ts_ms"))
     )
 

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from lab_flink_repository_analytics_spark import schemas
 
-_SEP = "\x1f"  # unit separator — never appears in git metadata
+_SEP = "\x1f"  # unit separator — field delimiter
 _REC = "\x1e"  # record separator
 
 _FORMAT = _REC + _SEP.join(
@@ -60,7 +60,13 @@ def read_commits(
         if not block.strip():
             continue
         lines = block.strip("\n").split("\n")
-        head = lines[0].split(_SEP)
+        # subject is the last field: maxsplit keeps a subject containing the
+        # field separator intact.  Subjects are contributor-controlled bytes;
+        # a block that still doesn't yield 8 fields (e.g. the tail of a
+        # subject containing the record separator) is skipped, not crashed on.
+        head = lines[0].split(_SEP, 7)
+        if len(head) != 8:
+            continue
         sha, author, author_email, a_date, committer, c_email, c_date, subject = head
         files = []
         for line in lines[1:]:
@@ -100,9 +106,19 @@ def _parse_iso_ms(s: str) -> datetime:
     return dt.replace(microsecond=(dt.microsecond // 1000) * 1000)
 
 
-def commits_df(spark: SparkSession, repo_dir: str, after_sha: str | None = None) -> DataFrame:
-    """Commits as a DataFrame with the canonical COMMIT schema."""
-    rows = read_commits(repo_dir, after_sha)
+def commits_df(
+    spark: SparkSession,
+    repo_dir: str,
+    after_sha: str | None = None,
+    rows: list[dict] | None = None,
+) -> DataFrame:
+    """Commits as a DataFrame with the canonical COMMIT schema.
+
+    Pass ``rows`` to reuse an existing :func:`read_commits` result instead
+    of re-parsing the repository history.
+    """
+    if rows is None:
+        rows = read_commits(repo_dir, after_sha)
     tuples = [
         tuple(r[f.name] if f.name != "filesChanged" else [
             (x["filename"], x["linesAdded"], x["linesChanged"], x["linesRemoved"])
@@ -129,7 +145,7 @@ def ingest_to_parquet(
         return after_sha
     from pyspark.sql import functions as F
 
-    df = commits_df(spark, repo_dir, after_sha)
+    df = commits_df(spark, repo_dir, after_sha, rows=rows)
     (
         df.withColumn("commit_month", F.date_format("commitDate", "yyyy-MM"))
         .repartition("commit_month")

@@ -118,8 +118,15 @@ def read_emails(mbox_path: str, after: datetime | None = None) -> list[dict]:
     return out
 
 
-def emails_df(spark: SparkSession, mbox_path: str, after: datetime | None = None) -> DataFrame:
-    rows = read_emails(mbox_path, after)
+def emails_df(
+    spark: SparkSession,
+    mbox_path: str,
+    after: datetime | None = None,
+    rows: list[dict] | None = None,
+) -> DataFrame:
+    """Pass ``rows`` to reuse a :func:`read_emails` result (no re-parse)."""
+    if rows is None:
+        rows = read_emails(mbox_path, after)
     tuples = [tuple(r[f.name] for f in schemas.EMAIL.fields) for r in rows]
     return spark.createDataFrame(tuples, schemas.EMAIL)
 
@@ -137,7 +144,7 @@ def ingest_to_parquet(
     rows = read_emails(mbox_path, after)
     if not rows:
         return after
-    df = emails_df(spark, mbox_path, after)
+    df = emails_df(spark, mbox_path, after, rows=rows)
     (
         df.withColumn("month", F.date_format("date", "yyyy-MM"))
         .repartition("month")

@@ -15,8 +15,6 @@ The reference's sinks:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -58,19 +56,35 @@ def upsert_by_key(
     result.write.mode("overwrite").parquet(tmp)
     final = spark.read.parquet(tmp)
     final.write.mode("overwrite").parquet(path)
-    _rm(tmp)
+    _rm(spark, tmp)
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any Hadoop-supported scheme (file/hdfs/s3a/…).
+
+    Going through the JVM FileSystem API — not os.path — so the upsert
+    works against remote object stores and partitioned datasets, exactly
+    where the at-scale sink runs.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
 
 
 def _exists(spark: SparkSession, path: str) -> bool:
-    return os.path.exists(path) and any(
-        n.endswith(".parquet") or n == "_SUCCESS" for n in os.listdir(path)
-    )
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return False
+    # a directory with any content counts (plain files, partition dirs, or
+    # a _SUCCESS marker); an empty dir from a failed write does not
+    return len(fs.listStatus(hpath)) > 0
 
 
-def _rm(path: str) -> None:
-    import shutil
-
-    shutil.rmtree(path, ignore_errors=True)
+def _rm(spark: SparkSession, path: str) -> None:
+    fs, hpath = _hadoop_fs(spark, path)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
 
 
 def to_kafka_json(df: DataFrame, key_cols: list[str] | None = None) -> DataFrame:

@@ -862,6 +862,34 @@ FROM documents l JOIN documents r
 """
 
 
+# --- shared DuckDB float-policy fragments for the similarity oracles ---
+# ONE definition of the dot/norm/cosine expression shape: the fold order
+# must match the Spark side everywhere, so every oracle builds from these.
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return f"list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt({_dot_sql(a, a)})"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"{_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)})"
+
+
+_RANKED_TAIL_SQL = """
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(score, 6) AS cos_sim
+FROM ranked WHERE rank <= 10
+"""
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for query vectors (vec_id < 5)."""
     t = load_tables(spark, sf_dir)
@@ -869,22 +897,13 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.brute_force_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)
 
 
-ANN_SQL = """
+ANN_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
 scored AS (
-  SELECT query_id, neighbor_id,
-         list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * cv[i]))
-         / (sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))
-          * sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * cv[i])))) AS score
+  SELECT query_id, neighbor_id, {_cos_sql("qv", "cv")} AS score
   FROM q, c WHERE query_id <> neighbor_id
-), ranked AS (
-  SELECT query_id, neighbor_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-  FROM scored
-)
-SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(score, 6) AS cos_sim
-FROM ranked WHERE rank <= 10
+), {_RANKED_TAIL_SQL}
 """
 
 
@@ -947,16 +966,12 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.embedding_near_dup_pairs(t["embeddings"], ["label"], threshold=0.3)
 
 
-EMBEDDING_NEAR_DUP_SQL = """
-WITH e AS (
-  SELECT vec_id, label, embedding::DOUBLE[] AS v,
-         sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
-              i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
-  FROM embeddings
-), scored AS (
+EMBEDDING_NEAR_DUP_SQL = f"""
+WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, label, v, {_norm_sql("v")} AS nrm FROM e0),
+scored AS (
   SELECT l.vec_id AS id_a, r.vec_id AS id_b,
-         round(list_sum(list_transform(generate_series(1, len(l.v)),
-               i -> l.v[i] * r.v[i])) / (l.nrm * r.nrm), 6) AS cos_sim
+         round({_dot_sql("l.v", "r.v")} / (l.nrm * r.nrm), 6) AS cos_sim
   FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id
 )
 SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.3
@@ -995,18 +1010,9 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 eb AS (SELECT vec_id, v, {_lsh_bucket_sql("v", ANN_LSH_NBITS)} AS bucket FROM e),
 q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id < 5),
 scored AS (
-  SELECT query_id, c.vec_id AS neighbor_id,
-         list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * c.v[i]))
-         / (sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))
-          * sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))) AS score
+  SELECT query_id, c.vec_id AS neighbor_id, {_cos_sql("qv", "c.v")} AS score
   FROM q JOIN eb c ON q.bucket = c.bucket AND q.query_id <> c.vec_id
-), ranked AS (
-  SELECT query_id, neighbor_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-  FROM scored
-)
-SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(score, 6) AS cos_sim
-FROM ranked WHERE rank <= 10
+), {_RANKED_TAIL_SQL}
 """
 
 
@@ -1076,17 +1082,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cos_sql(a: str, b: str) -> str:
-    return (
-        f"list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
-        f" / (sqrt(list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {a}[i])))"
-        f" * sqrt(list_sum(list_transform(generate_series(1, len({b})), i -> {b}[i] * {b}[i]))))"
-    )
-
-
 ANN_IVF_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {IVF_NLISTS}),
+c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {IVF_NLISTS}),
 pairs AS (
   SELECT e.vec_id, e.v, c.cid, c.cv, {_cos_sql("e.v", "c.cv")} AS cs
   FROM e, c
@@ -1100,13 +1098,7 @@ probes AS (SELECT vec_id AS query_id, v AS qv, cid FROM asg
 scored AS (
   SELECT query_id, neighbor_id, {_cos_sql("qv", "cv2")} AS score
   FROM probes JOIN cand USING (cid) WHERE query_id <> neighbor_id
-), ranked AS (
-  SELECT query_id, neighbor_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-  FROM scored
-)
-SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(score, 6) AS cos_sim
-FROM ranked WHERE rank <= 10
+), {_RANKED_TAIL_SQL}
 """
 
 

@@ -111,7 +111,11 @@ WATERMARKS = {
 
 
 def truncate_to_millis(col):
-    """Truncate a µs-precision Spark timestamp column to ms (TIMESTAMP(3))."""
-    return F.timestamp_micros(
-        (F.unix_micros(col) / 1000).cast("long") * 1000
-    )
+    """Truncate a µs-precision Spark timestamp column to ms (TIMESTAMP(3)).
+
+    Integer floor division (``div``), not float ``/``: float division
+    truncates toward zero, which is 1 ms late for pre-1970 timestamps and
+    routes an exact integer computation through a double.
+    """
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.timestamp_micros(F.unix_micros(c).cast("long") - (F.pmod(F.unix_micros(c), F.lit(1000))))

@@ -81,6 +81,13 @@ def rebalance(df, factor: int = 1):
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
+    # only probe partition counts for shuffle-free plans: if the input
+    # already contains an Exchange, the shuffle spreads it across
+    # spark.sql.shuffle.partitions anyway — and touching .rdd on an
+    # AQE plan with exchanges would execute those stages eagerly
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

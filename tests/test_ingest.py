@@ -37,6 +37,34 @@ def git_repo(tmp_path_factory):
     return d
 
 
+def test_gitlog_hostile_subject_bytes(git_repo, tmp_path):
+    # contributor-controlled subjects may contain the field/record
+    # separators; ingest must not crash and must keep other commits intact
+    import shutil
+
+    d = str(tmp_path / "hostile")
+    shutil.copytree(git_repo, d)
+    env = {
+        "GIT_AUTHOR_NAME": "Mallory",
+        "GIT_AUTHOR_EMAIL": "m@x.io",
+        "GIT_COMMITTER_NAME": "Mallory",
+        "GIT_COMMITTER_EMAIL": "m@x.io",
+        "GIT_AUTHOR_DATE": "2021-02-01T10:00:00+00:00",
+        "GIT_COMMITTER_DATE": "2021-02-01T10:00:00+00:00",
+    }
+    p = __import__("pathlib").Path(d)
+    (p / "c.txt").write_text("y\n")
+    subprocess.run(["git", "-C", d, "add", "c.txt"], check=True, capture_output=True, env=env)
+    subprocess.run(
+        ["git", "-C", d, "commit", "-q", "-m", "bad\x1fsubject\x1fwith seps"],
+        check=True, capture_output=True, env=env,
+    )
+    commits = gitlog.read_commits(d)
+    assert len(commits) == 3
+    assert commits[-1]["shortInfo"] == "bad\x1fsubject\x1fwith seps"
+    assert commits[-1]["committerEmail"] == "m@x.io"
+
+
 def test_gitlog_read_commits(git_repo):
     commits = gitlog.read_commits(git_repo)
     assert len(commits) == 2  # --reverse: oldest first

@@ -14,13 +14,15 @@ def _media(spark):
         ("m2", "image", "image/jpeg", bytearray(b"\xff\xd8 fake"), 20, 20, None),
         ("m3", "video", "video/mp4", bytearray(b"mp4 fake"), 64, 48, 3500),
         ("m4", "image", "image/png", None, None, None, None),  # null payload
+        ("m5", "video", "video/mp4", bytearray(b"v"), 1, 1, None),  # no duration
+        ("m6", "video", "video/mp4", bytearray(b"v"), 1, 1, 0),  # zero duration
     ]
     return spark.createDataFrame(rows, MM.MEDIA)
 
 
 def test_extract_image_features_shape(spark):
     out = MM.extract_image_features(_media(spark)).collect()
-    assert len(out) == 4
+    assert len(out) == 6
     by_id = {r["media_id"]: r for r in out}
     assert all(len(r["embedding"]) == MM.EMBED_DIM for r in out)
     assert all(-1.0 <= v < 1.0 for v in by_id["m1"]["embedding"])
@@ -47,5 +49,5 @@ def test_video_frame_sampling_plan(spark):
 
 def test_media_summary(spark):
     out = {(r["kind"], r["mime"]): (r["n"], r["total_bytes"]) for r in MM.media_summary(_media(spark)).collect()}
-    assert out[("video", "video/mp4")][0] == 1
+    assert out[("video", "video/mp4")][0] == 3
     assert out[("image", "image/png")][0] == 2
