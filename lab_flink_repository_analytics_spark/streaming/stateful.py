@@ -25,6 +25,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from lab_flink_repository_analytics_spark.functions.aggregate import (
@@ -108,6 +109,88 @@ def email_profiles_stream(emails: DataFrame) -> DataFrame:
             "update",
             GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+_PAIR_SCHEMA = "id_a bigint, id_b bigint, band_key string, est_jaccard double"
+_BAND_STATE_SCHEMA = "ids array<long>, sigs array<string>"
+
+#: Per-bucket state cap — a hot bucket (boilerplate shingles) stops
+#: accumulating after this many docs instead of growing without bound.
+MAX_BUCKET_STATE = 1000
+
+
+def _update_band(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        ids, sigs = state.get
+        ids = list(ids)
+        sigs = [tuple(int(x) for x in s.split(",")) for s in sigs]
+    else:
+        ids, sigs = [], []
+
+    out: list[dict] = []
+    batch = pd.concat(list(pdfs)).sort_values("id")
+    for doc_id, sig_list in zip(batch["id"], batch["sig"]):
+        sig = tuple(int(x) for x in sig_list)
+        doc_id = int(doc_id)
+        for seen_id, seen_sig in zip(ids, sigs):
+            if seen_id == doc_id:
+                continue
+            matching = sum(1 for a, b in zip(sig, seen_sig) if a == b)
+            a, b = sorted((seen_id, doc_id))
+            out.append(
+                {
+                    "id_a": a,
+                    "id_b": b,
+                    "band_key": key[0],
+                    "est_jaccard": matching / len(sig),
+                }
+            )
+        if len(ids) < MAX_BUCKET_STATE and doc_id not in ids:
+            ids.append(doc_id)
+            sigs.append(sig)
+
+    state.update((ids, [",".join(str(x) for x in s) for s in sigs]))
+    yield pd.DataFrame(
+        out, columns=["id_a", "id_b", "band_key", "est_jaccard"]
+    )
+
+
+def minhash_dedup_stream(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Streaming near-duplicate candidates via stateful MinHash-LSH banding.
+
+    Each incoming doc computes its signature per-row (pure expressions, no
+    shuffle), explodes into LSH band keys, and is checked against the
+    **accumulated** members of each band bucket held in keyed streaming
+    state — so near-dups are caught across micro-batches, not just within
+    one.  Emits ``(id_a, id_b, band_key, est_jaccard)`` candidate rows
+    (estimate = matching signature positions / N_PERMS); exact-Jaccard
+    verification stays a batch follow-up on the candidate log.
+
+    Scale: state is per band bucket, distributed by bucket key; hot
+    buckets stop absorbing members at ``MAX_BUCKET_STATE`` (boilerplate
+    shingles would otherwise grow one bucket without bound).
+    """
+    from lab_flink_repository_analytics_spark.datapipe import dedup as DD
+
+    banded = docs.select(
+        F.col(id_col).alias("id"),
+        DD.minhash_signature(text_col).alias("sig"),
+    ).select(
+        "id",
+        "sig",
+        F.explode(DD.minhash_band_keys(F.col("sig"))).alias("band_key"),
+    )
+    return banded.groupBy("band_key").applyInPandasWithState(
+        _update_band,
+        _PAIR_SCHEMA,
+        _BAND_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
     )
 
 

@@ -139,6 +139,56 @@ def test_stateful_email_profiles_across_batches(spark, tmp_path):
     assert got2["jane"]["company"] == "ververica.com"  # untouched key survives
 
 
+def test_minhash_dedup_stream_across_batches(spark, tmp_path):
+    from lab_flink_repository_analytics_spark.streaming import stateful
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    text = "the quick brown fox jumps over the lazy dog again and again"
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = (
+            stateful.minhash_dedup_stream(stream)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda b, _: None
+                if b.isEmpty()
+                else b.write.mode("append").parquet(out)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def pairs():
+        import os
+
+        if not os.path.exists(out):
+            return set()
+        return {
+            (r["id_a"], r["id_b"]) for r in spark.read.parquet(out).collect()
+        }
+
+    spark.createDataFrame(
+        [(1, text), (2, "completely unrelated content about query engines")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(src)
+    run()
+    assert pairs() == set()  # no dups yet
+
+    # batch 2 contains a near-dup of doc 1 — must pair against the STATE
+    spark.createDataFrame(
+        [(3, text + " tail")], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+    run()
+    got = pairs()
+    assert (1, 3) in got
+    assert all(p == (1, 3) for p in got)  # no (2, x) noise
+
+
 def test_exact_dedup_stream(spark, tmp_path):
     from lab_flink_repository_analytics_spark.streaming import stateful
 
