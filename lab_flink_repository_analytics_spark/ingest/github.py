@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import json
 import urllib.request
-from datetime import datetime
+from datetime import datetime, timedelta
 from functools import lru_cache
 
 API = "https://api.github.com"
@@ -52,6 +52,19 @@ def _ts(s: str | None) -> datetime | None:
 @lru_cache(maxsize=10_000)  # ≙ DEFAULT_MAX_USERS_IN_CACHE, GithubSource.java:28
 def _user_details(login: str, token: str | None = None) -> dict:
     return fetch_json(f"{API}/users/{login}", token)
+
+
+def until_for(since: datetime, now: datetime) -> tuple[datetime, bool]:
+    """Commit-poll slice end for a ``[since, until)`` fetch window.
+
+    ref GithubCommitSource.java:137-146 (``getUntilFor``): one day past
+    ``since``, capped at ``now``; the boolean means "caught up — delay the
+    next poll" (true only when the cap applied).
+    """
+    maybe_until = since + timedelta(days=1)
+    if maybe_until > now:
+        return now, True
+    return maybe_until, False
 
 
 def commit_row(api_commit: dict) -> dict:

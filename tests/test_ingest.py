@@ -208,6 +208,17 @@ API_PULL = {
 }
 
 
+def test_github_until_for():
+    # ref GithubCommitSource.java:137-146: 1-day slice, capped at now
+    since = datetime(2021, 1, 1, 6)
+    assert github.until_for(since, datetime(2021, 1, 3)) == (
+        datetime(2021, 1, 2, 6),
+        False,
+    )
+    now = datetime(2021, 1, 1, 18)
+    assert github.until_for(since, now) == (now, True)  # caught up → delay
+
+
 def test_github_commit_row():
     row = github.commit_row(API_COMMIT)
     assert row["sha1"] == "abc123"
