@@ -194,18 +194,18 @@ def simhash_signatures_df(
         F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
     )
     h = toks.select("id", md5_hash32(F.col("tok")).alias("h"))
+    # set-bit counts, not ±1 votes: sum(h>>i & 1) is a branch-free bitwise
+    # expression, and "majority of +1/-1 votes > 0" ⇔ "2·set_count > n"
     sums = [
-        F.sum(
-            F.when((F.shiftright(F.col("h"), i) % 2) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
         for i in range(32)
     ]
-    agg = h.groupBy("id").agg(*sums)
+    agg = h.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *sums)
     sim = F.lit(0).cast("bigint")
     for i in range(32):
-        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
+        sim = sim + F.when(
+            F.col(f"b{i}") * 2 > F.col("n"), F.lit(1 << i).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
     return agg.select(F.col("id").alias(id_col), sim.alias("simhash"))
 
 
