@@ -58,6 +58,32 @@ def test_multiset_multiplicity(spark):
     assert len(out) == 1 and out[0]["name"] == "a"
 
 
+def test_multiset_random_changelogs_match_simulation(spark):
+    """Batched property test: random I/UA/UB/D sequences materialize to the
+    same multiset a direct Python simulation produces."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(42)
+    rows, expected = [], Counter()
+    for case in range(40):
+        n = rng.randint(1, 12)
+        for _ in range(n):
+            kind = rng.choice(["+I", "+I", "+U", "-U", "-D"])
+            name = rng.choice(["a", "b", "c"])
+            age = rng.randint(1, 3) + case * 10  # cases don't collide
+            rows.append((kind, name, age))
+            if kind in ("+I", "+U"):
+                expected[(name, age)] += 1
+            else:
+                expected[(name, age)] -= 1
+    df = _cdf(spark, rows)
+    got = Counter(
+        (r["name"], r["age"]) for r in CL.materialize_multiset(df).collect()
+    )
+    assert got == Counter({k: v for k, v in expected.items() if v > 0})
+
+
 def test_upsert_last_wins_and_delete(spark):
     # primary-keyed source (LastNonNullValueAggFunctionITCase.java:88-92):
     # upserts by key f0; a trailing delete removes the key

@@ -139,6 +139,33 @@ def test_stateful_email_profiles_across_batches(spark, tmp_path):
     assert got2["jane"]["company"] == "ververica.com"  # untouched key survives
 
 
+def test_stateful_profiles_on_rocksdb_state_store(spark, tmp_path):
+    # the reference runs RocksDB state backends in every ITCase
+    # (SURVEY.md §4); prove the stateful operator runs on Spark's RocksDB
+    # provider (conf applies per started query)
+    from lab_flink_repository_analytics_spark.session import ROCKSDB_PROVIDER
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        src = str(tmp_path / "emails")
+        out = str(tmp_path / "profiles")
+        ckpt = str(tmp_path / "ckpt")
+        schema = "person string, email string, ts timestamp"
+        spark.createDataFrame(
+            [("ada", "ada@corp.com", datetime(2022, 3, 1))], schema
+        ).write.parquet(src)
+        _run_profiles(spark, src, out, ckpt)
+        got = {r["person"]: r for r in spark.read.parquet(out).collect()}
+        assert got["ada"]["company"] == "corp.com"
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def test_minhash_dedup_stream_across_batches(spark, tmp_path):
     from lab_flink_repository_analytics_spark.streaming import stateful
 
