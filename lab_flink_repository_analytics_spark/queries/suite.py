@@ -525,6 +525,43 @@ HAVING count(*) > 2
 """
 
 
+def jira_authors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tickets per Jira author — exercises GetJiraTicketFrom (FROM-field
+    author extraction, ref GetJiraTicketFrom.java:12-26) and
+    GetJiraTicketNumber (subject FLINK-id, ref GetJiraTicketNumber.java:
+    9-23) with COUNT(DISTINCT) over the extracted ids.  The author group
+    keeps the reference's greedy trailing space."""
+    from lab_flink_repository_analytics_spark.functions.scalar import (
+        get_jira_ticket_from,
+        get_jira_ticket_number,
+        is_jira_ticket,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emails = _synth_jira_emails(t)
+    return (
+        emails.filter(is_jira_ticket(F.col("fromRaw")))
+        .select(
+            get_jira_ticket_from(F.col("fromRaw")).alias("author"),
+            get_jira_ticket_number(F.col("subject")).alias("ticket"),
+        )
+        .groupBy("author")
+        .agg(
+            F.countDistinct("ticket").alias("tickets"),
+            F.count(F.lit(1)).alias("messages"),
+        )
+    )
+
+
+JIRA_AUTHORS_SQL = """
+SELECT 'Author ' || (doc_id % 7) || ' ' AS author,
+       count(DISTINCT 'FLINK-' || (10000 + doc_id)) AS tickets,
+       count(*) AS messages
+FROM documents WHERE doc_id % 3 = 0
+GROUP BY 1
+"""
+
+
 def aliases_company(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GetEmailAliasesAndCompany over people synthesized from events:
     per user, all email aliases + current company + company-since
@@ -1178,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nations_per_region": nations_per_region,
         "commit_activity": commit_activity,
         "jira_tickets": jira_tickets,
+        "jira_authors": jira_authors,
         "aliases_company": aliases_company,
         "obfuscated_users": obfuscated_users,
         "normalized_threads": normalized_threads,
@@ -1218,6 +1256,7 @@ def oracle_sql() -> dict[str, str]:
         "nations_per_region": NATIONS_PER_REGION_SQL,
         "commit_activity": COMMIT_ACTIVITY_SQL,
         "jira_tickets": JIRA_TICKETS_SQL,
+        "jira_authors": JIRA_AUTHORS_SQL,
         "aliases_company": ALIASES_COMPANY_SQL,
         "obfuscated_users": OBFUSCATED_USERS_SQL,
         "normalized_threads": NORMALIZED_THREADS_SQL,

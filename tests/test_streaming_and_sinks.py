@@ -139,6 +139,64 @@ def test_stateful_email_profiles_across_batches(spark, tmp_path):
     assert got2["jane"]["company"] == "ververica.com"  # untouched key survives
 
 
+def test_watermark_drops_late_rows_append_mode(spark, tmp_path):
+    # reference watermark semantics (DDL delays, README.md:88/120/145):
+    # rows older than the watermark are dropped, finalized windows emit once
+    from datetime import datetime as dt
+
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "agg")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k string, ts timestamp"
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withWatermark("ts", "1 day")
+        )
+        agg = (
+            stream.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("w.start").alias("ws"), "cnt")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda b, _: None
+                if b.isEmpty()
+                else b.write.mode("append").parquet(out)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [("a", dt(2021, 1, 10, 10, 0)), ("b", dt(2021, 1, 20, 9, 30))], schema
+    ).write.mode("append").parquet(src)
+    run()
+    # watermark = Jan 19 09:30 → the Jan 10 window is finalized with cnt=1
+    got = {r["ws"]: r["cnt"] for r in spark.read.parquet(out).collect()}
+    assert got == {dt(2021, 1, 10, 10, 0): 1}
+
+    # batch 2: a row 9 days behind the watermark (dropped) + a fresh row
+    # that advances the watermark past the Jan 20 window
+    spark.createDataFrame(
+        [("late", dt(2021, 1, 10, 10, 30)), ("c", dt(2021, 1, 22, 0, 0))],
+        schema,
+    ).write.mode("append").parquet(src)
+    run()
+    got2 = {r["ws"]: r["cnt"] for r in spark.read.parquet(out).collect()}
+    # Jan 10 window NOT re-emitted/incremented by the late row; Jan 20
+    # window finalized at cnt=1
+    assert got2 == {
+        dt(2021, 1, 10, 10, 0): 1,
+        dt(2021, 1, 20, 9, 0): 1,
+    }
+
+
 def test_stateful_profiles_on_rocksdb_state_store(spark, tmp_path):
     # the reference runs RocksDB state backends in every ITCase
     # (SURVEY.md §4); prove the stateful operator runs on Spark's RocksDB
