@@ -1197,6 +1197,109 @@ SELECT user_id, value AS v FROM last WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (temporal-join extension; not in the reference — the
+    union+carry-forward strategy of datapipe/joins.py::asof_join): every
+    purchase event picks up the user's latest view event at-or-before it.
+    Oracle is DuckDB's native ASOF LEFT JOIN."""
+    from lab_flink_repository_analytics_spark.datapipe.joins import asof_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    return asof_join(
+        purchases, views, on="user_id", payload=["view_value"], suffix="view_"
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_value",
+        F.col("view_ts"),
+        F.col("view_view_value").alias("view_value"),
+    )
+
+
+ASOF_PURCHASE_VIEW_SQL = """
+SELECT l.event_id, l.user_id, l.ts, l.value AS purchase_value,
+       r.ts AS view_ts, r.value AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def interval_click_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (Flink interval-join semantics via the bucketed
+    equi-join of datapipe/joins.py::interval_count): for every error event,
+    how many clicks the same user made in the preceding 10 minutes
+    (left-outer — errors with no clicks count 0)."""
+    from lab_flink_repository_analytics_spark.datapipe.joins import (
+        interval_count,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"]
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return interval_count(
+        errors,
+        clicks,
+        on="user_id",
+        lower_seconds=-600.0,
+        upper_seconds=0.0,
+        bucket_seconds=600.0,
+        count_alias="clicks_before",
+    )
+
+
+INTERVAL_CLICK_CONTEXT_SQL = """
+SELECT l.event_id, l.user_id, l.ts, count(r.ts) AS clicks_before
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') l
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts - INTERVAL 10 MINUTE AND r.ts <= l.ts
+GROUP BY 1, 2, 3
+"""
+
+
+def rollup_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time-bucket rollup — GROUP BY ROLLUP(year, month) over
+    order revenue in one pass (Catalyst Expand → single hash exchange
+    computing all grouping sets; the hypertable continuous-aggregate
+    pattern without a second scan).  grouping_id disambiguates levels."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select(
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.col("o_totalprice"),
+    )
+    return (
+        o.rollup("y", "m")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("orders"),
+            F.grouping_id().alias("lvl"),
+        )
+    )
+
+
+ROLLUP_ORDER_REVENUE_SQL = """
+SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       count(*) AS orders,
+       GROUPING(year(o_orderdate), month(o_orderdate)) AS lvl
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1236,6 +1339,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "changelog_net_counts": changelog_net_counts,
         "changelog_upsert_state": changelog_upsert_state,
+        "asof_purchase_view": asof_purchase_view,
+        "interval_click_context": interval_click_context,
+        "rollup_order_revenue": rollup_order_revenue,
         "subword_token_counts": subword_token_counts,
         "winnowing_fingerprints": winnowing_fingerprints,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1277,6 +1383,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": ANN_LSH_SQL,
         "changelog_net_counts": CHANGELOG_NET_SQL,
         "changelog_upsert_state": CHANGELOG_UPSERT_SQL,
+        "asof_purchase_view": ASOF_PURCHASE_VIEW_SQL,
+        "interval_click_context": INTERVAL_CLICK_CONTEXT_SQL,
+        "rollup_order_revenue": ROLLUP_ORDER_REVENUE_SQL,
         "subword_token_counts": SUBWORD_TOKEN_SQL,
         "winnowing_fingerprints": WINNOWING_SQL,
         "ann_ivf_topk": ANN_IVF_SQL,

@@ -1,0 +1,151 @@
+"""Temporal joins: as-of and interval (datapipe/joins.py).
+
+The reference has no temporal joins — these are the training-pipeline
+extensions; semantics are pinned against hand-computed fixtures and (for
+as-of) Pandas ``merge_asof`` conventions / DuckDB ``ASOF JOIN``.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime as dt
+
+from pyspark.sql import functions as F
+
+from lab_flink_repository_analytics_spark.datapipe.joins import (
+    asof_join,
+    interval_count,
+    interval_join,
+)
+
+def rows(df, *cols):
+    data = [tuple(r) for r in (df.select(*cols) if cols else df).collect()]
+    return sorted(data, key=repr)
+
+
+def _trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 10, 0, 0), 100.0),
+            (1, dt(2024, 1, 1, 10, 5, 0), 101.0),
+            (2, dt(2024, 1, 1, 10, 1, 0), 50.0),
+            (3, dt(2024, 1, 1, 9, 0, 0), 7.0),  # before any quote
+        ],
+        "k long, ts timestamp, trade double",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 9, 59, 0), 99.5),
+            (1, dt(2024, 1, 1, 10, 5, 0), 100.9),  # tie → matches (>=)
+            (2, dt(2024, 1, 1, 10, 0, 0), 49.9),
+            (3, dt(2024, 1, 1, 12, 0, 0), 7.7),  # only later than trade
+        ],
+        "k long, ts timestamp, quote double",
+    )
+    return trades, quotes
+
+
+def test_asof_backward_with_ties_and_misses(spark):
+    trades, quotes = _trades_quotes(spark)
+    out = asof_join(trades, quotes, on="k", payload=["quote"])
+    got = rows(out, "k", "ts", "trade", "r_ts", "r_quote")
+    assert got == sorted(
+        [
+            (1, dt(2024, 1, 1, 10, 0, 0), 100.0, dt(2024, 1, 1, 9, 59, 0), 99.5),
+            (1, dt(2024, 1, 1, 10, 5, 0), 101.0, dt(2024, 1, 1, 10, 5, 0), 100.9),
+            (2, dt(2024, 1, 1, 10, 1, 0), 50.0, dt(2024, 1, 1, 10, 0, 0), 49.9),
+            (3, dt(2024, 1, 1, 9, 0, 0), 7.0, None, None),
+        ],
+        key=repr,
+    )
+
+
+def test_asof_matches_duckdb_asof_join(spark):
+    import duckdb
+
+    trades, quotes = _trades_quotes(spark)
+    out = asof_join(trades, quotes, on="k", payload=["quote"])
+    con = duckdb.connect()
+    con.register("t", trades.toPandas())
+    con.register("q", quotes.toPandas())
+    want = con.sql(
+        """
+        SELECT t.k, t.ts, t.trade, q.ts AS r_ts, q.quote AS r_quote
+        FROM t ASOF LEFT JOIN q ON t.k = q.k AND t.ts >= q.ts
+        """
+    ).fetchall()
+    assert rows(out) == sorted([tuple(r) for r in want], key=repr)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    trades, quotes = _trades_quotes(spark)
+    out = asof_join(
+        trades, quotes, on="k", payload=["quote"], tolerance_seconds=30.0
+    )
+    got = {(r["k"], r["ts"]): r["r_quote"] for r in out.collect()}
+    # k=1 @10:00 matched 9:59 (60s ago) → nulled by 30s tolerance
+    assert got[(1, dt(2024, 1, 1, 10, 0, 0))] is None
+    assert got[(1, dt(2024, 1, 1, 10, 5, 0))] == 100.9  # 0s old → kept
+    assert got[(3, dt(2024, 1, 1, 9, 0, 0))] is None
+
+
+def test_asof_single_shuffle_plan(spark):
+    trades, quotes = _trades_quotes(spark)
+    plan = asof_join(trades, quotes, on="k")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_interval_join_pairs_exact_no_dups(spark):
+    left = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 10, 0, 0), "a"), (1, dt(2024, 1, 1, 11, 0, 0), "b")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 9, 51, 0), "r1"),   # 9 min before a
+            (1, dt(2024, 1, 1, 10, 0, 0), "r2"),   # exactly at a
+            (1, dt(2024, 1, 1, 9, 49, 59), "r3"),  # 10m01s before a → out
+            (1, dt(2024, 1, 1, 10, 55, 0), "r4"),  # 5 min before b
+        ],
+        "k long, ts timestamp, rtag string",
+    )
+    out = interval_join(
+        left, right, on="k",
+        lower_seconds=-600.0, upper_seconds=0.0, bucket_seconds=600.0,
+        payload=["rtag"],
+    )
+    got = rows(out, "tag", "r_rtag")
+    assert got == sorted(
+        [("a", "r1"), ("a", "r2"), ("b", "r4")], key=repr
+    )
+
+
+def test_interval_count_left_outer_zero_for_no_match(spark):
+    left = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 10, 0, 0)), (2, dt(2024, 1, 1, 10, 0, 0))],
+        "k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 9, 58, 0)), (1, dt(2024, 1, 1, 9, 59, 0))],
+        "k long, ts timestamp",
+    )
+    out = interval_count(
+        left, right, on="k", lower_seconds=-600.0, upper_seconds=0.0
+    )
+    got = {r["k"]: r["matches"] for r in out.collect()}
+    assert got == {1: 2, 2: 0}
+
+
+def test_interval_join_no_nested_loop(spark):
+    left = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 10, 0, 0))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 9, 58, 0))], "k long, ts timestamp"
+    )
+    out = interval_join(
+        left, right, on="k", lower_seconds=-600.0, upper_seconds=0.0
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
