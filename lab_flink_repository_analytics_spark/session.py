@@ -48,6 +48,17 @@ def get_spark(
     ``shuffle_partitions`` should be ~2-3x total cores on a cluster; for
     local mode it defaults to the core count.
     """
+    # Python workers spawned by the JVM (incl. the transformWithState
+    # driver worker, a fresh process) must be able to import this package;
+    # locally that means the repo root on PYTHONPATH before the JVM starts.
+    # On a real cluster the equivalent is shipping the wheel (--py-files).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pp if pp else "")
+        )
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if master is None:
         master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")

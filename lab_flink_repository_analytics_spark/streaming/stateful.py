@@ -48,19 +48,10 @@ def _domain(email: str) -> str | None:
     return dom or None
 
 
-def _update_profile(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    if state.exists:
-        aliases, company, since = state.get
-        aliases = list(aliases)
-    else:
-        aliases, company, since = [], None, None
-
+def _fold_profile(aliases, company, since, pdfs):
+    """The shared accumulate() fold (ref GetEmailAliasesAndCompany.java:
+    38-123): event-time order within the batch, ties by email."""
     batch = pd.concat(list(pdfs))
-    # event-time order within the batch (ties by email for determinism)
     batch = batch.sort_values(["ts", "email"])
     for email, ts in zip(batch["email"], batch["ts"]):
         if email is None or (isinstance(email, float) and pd.isna(email)):
@@ -73,14 +64,16 @@ def _update_profile(
         if dom is not None and dom.lower() not in _EXCLUDES and dom != company:
             company = dom
             since = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+    return aliases, company, since
 
-    state.update((aliases, company, since))
+
+def _profile_row(key: tuple, aliases, company, since) -> pd.DataFrame:
     shown = (
         re.sub(VERVERICA_ALIASES_PATTERN, "ververica.com", company)
         if company is not None
         else None
     )
-    yield pd.DataFrame(
+    return pd.DataFrame(
         [
             {
                 "person": key[0],
@@ -90,6 +83,22 @@ def _update_profile(
             }
         ]
     )
+
+
+def _update_profile(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        aliases, company, since = state.get
+        aliases = list(aliases)
+    else:
+        aliases, company, since = [], None, None
+
+    aliases, company, since = _fold_profile(aliases, company, since, pdfs)
+    state.update((aliases, company, since))
+    yield _profile_row(key, aliases, company, since)
 
 
 def email_profiles_stream(emails: DataFrame) -> DataFrame:
@@ -108,6 +117,64 @@ def email_profiles_stream(emails: DataFrame) -> DataFrame:
             _STATE_SCHEMA,
             "update",
             GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+try:  # Spark 4+ (SPARK-49564); keep the module importable on older Sparks
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+
+
+class _EmailProfileProcessor(StatefulProcessor):
+    """``transformWithState`` twin of ``_update_profile`` — Spark 4's
+    successor API: explicit named state slots on the handle, optional
+    per-state TTL, timers for eviction.  Requires the RocksDB state-store
+    provider (the API is implemented only there).
+    """
+
+    def init(self, handle) -> None:
+        # TTL (ttlDurationMs) is the scale story for abandoned keys: the
+        # reference keeps accumulator state forever; at 100 TB stream scale
+        # pass a TTL so dormant people age out of RocksDB.
+        self._profile = handle.getValueState("profile", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        prior = self._profile.get()
+        if prior is not None:
+            aliases, company, since = list(prior[0]), prior[1], prior[2]
+        else:
+            aliases, company, since = [], None, None
+        aliases, company, since = _fold_profile(aliases, company, since, rows)
+        self._profile.update((aliases, company, since))
+        yield _profile_row(key, aliases, company, since)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def email_profiles_stream_v2(emails: DataFrame) -> DataFrame:
+    """``email_profiles_stream`` on ``transformWithStateInPandas``.
+
+    Same semantics and output schema as the ``applyInPandasWithState``
+    version; run it with the RocksDB provider
+    (``get_spark(rocksdb_state=True)`` or per-query conf).
+    """
+    return (
+        emails.select("person", "email", "ts")
+        .groupBy("person")
+        .transformWithStateInPandas(
+            statefulProcessor=_EmailProfileProcessor(),
+            outputStructType=PROFILE_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
         )
     )
 
