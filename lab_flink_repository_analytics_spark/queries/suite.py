@@ -1300,6 +1300,88 @@ GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
 """
 
 
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (Spark ``percentile``
+    ≙ DuckDB ``quantile_cont`` — both lower+(upper-lower)·frac; rounded to
+    6dp to absorb last-bit fp differences).  Exact percentile sorts within
+    each group — at 100 TB the approx_percentile sketch (t-digest, fixed
+    memory, mergeable map-side) is the drop-in scale path."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.95), 6).alias("p95"),
+        F.round(F.percentile("value", 0.99), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+EVENT_VALUE_PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group via ranking window — the latest 3 events per user
+    (ties broken by event_id).  Single hash exchange on user_id + per-key
+    sort; Spark pushes a per-partition rank limit (WindowGroupLimit) so
+    the sort never materializes more than N rows per key at scale."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "rn", "event_id", "event_type", "value")
+    )
+
+
+TOP_EVENTS_PER_USER_SQL = """
+SELECT user_id, rn, event_id, event_type, value
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot — per-user event counts fanned into one column per type,
+    written as direct conditional aggregation rather than ``.pivot()``:
+    with an explicit value list the built-in pivot still plans TWO hash
+    exchanges (pre-agg on (key,value) + pivotfirst on key), while the
+    conditional-agg form is ONE exchange with map-side partials — at
+    100 TB that second shuffle is pure waste.  Oracle is the equivalent
+    ANSI ``FILTER`` form."""
+    ev = load_tables(spark, sf_dir)["events"]
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == k, F.lit(1))).alias(k)
+            for k in kinds
+        ]
+    )
+
+
+EVENT_TYPE_PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'error')    AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1342,7 +1424,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_view": asof_purchase_view,
         "interval_click_context": interval_click_context,
         "rollup_order_revenue": rollup_order_revenue,
-        "subword_token_counts": subword_token_counts,
+        "event_value_percentiles": event_value_percentiles,
+        "top_events_per_user": top_events_per_user,
+        "event_type_pivot": event_type_pivot,
+    "subword_token_counts": subword_token_counts,
         "winnowing_fingerprints": winnowing_fingerprints,
         "ann_ivf_topk": ann_ivf_topk,
     }
@@ -1386,6 +1471,9 @@ def oracle_sql() -> dict[str, str]:
         "asof_purchase_view": ASOF_PURCHASE_VIEW_SQL,
         "interval_click_context": INTERVAL_CLICK_CONTEXT_SQL,
         "rollup_order_revenue": ROLLUP_ORDER_REVENUE_SQL,
+        "event_value_percentiles": EVENT_VALUE_PERCENTILES_SQL,
+        "top_events_per_user": TOP_EVENTS_PER_USER_SQL,
+        "event_type_pivot": EVENT_TYPE_PIVOT_SQL,
         "subword_token_counts": SUBWORD_TOKEN_SQL,
         "winnowing_fingerprints": WINNOWING_SQL,
         "ann_ivf_topk": ANN_IVF_SQL,

@@ -99,3 +99,21 @@ def test_ann_broadcasts_queries(spark, sf_dir):
     emb = t["embeddings"]
     df = SIM.brute_force_topk(emb.filter(F.col("vec_id") < 2), emb, k=3)
     assert "BroadcastNestedLoopJoin" in _plan(df) or "BroadcastHashJoin" in _plan(df)
+
+
+def test_top_n_per_group_has_partial_window_limit(spark, sf_dir):
+    # rank-limit pushdown: a Partial WindowGroupLimit BEFORE the exchange
+    # prunes each map partition to N rows per key — the difference between
+    # sorting 100 TB and sorting ~N×|keys| rows
+    plan = _plan(suite.top_events_per_user(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("Exchange")[-1]  # partial below the shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pivot_single_aggregation_no_extra_shuffle(spark, sf_dir):
+    # explicit pivot values → conditional aggregation in ONE pass: a single
+    # hash exchange, no values-discovery job, no per-value scan
+    plan = _plan(suite.event_type_pivot(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "HashAggregate" in plan
