@@ -1382,6 +1382,33 @@ FROM events GROUP BY user_id
 """
 
 
+def salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-aware aggregation: events has only 5 event_type keys — at
+    100 TB every one of them is a hot key that would collapse onto 5
+    reducers.  ``salted_count_sum`` fans each key over 32 salt buckets in
+    the expensive phase and combines exact DECIMAL partials in a tiny
+    phase 2; the result is bit-exact vs the plain GROUP BY (which is the
+    oracle)."""
+    from lab_flink_repository_analytics_spark.datapipe import skew
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return skew.salted_count_sum(
+        ev.select("event_type", "value"),
+        ["event_type"],
+        "value",
+        salt_buckets=32,
+        count_alias="n",
+        sum_alias="total_value",
+    )
+
+
+SALTED_EVENT_ROLLUP_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1427,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_percentiles": event_value_percentiles,
         "top_events_per_user": top_events_per_user,
         "event_type_pivot": event_type_pivot,
+        "salted_event_rollup": salted_event_rollup,
     "subword_token_counts": subword_token_counts,
         "winnowing_fingerprints": winnowing_fingerprints,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1474,6 +1502,7 @@ def oracle_sql() -> dict[str, str]:
         "event_value_percentiles": EVENT_VALUE_PERCENTILES_SQL,
         "top_events_per_user": TOP_EVENTS_PER_USER_SQL,
         "event_type_pivot": EVENT_TYPE_PIVOT_SQL,
+        "salted_event_rollup": SALTED_EVENT_ROLLUP_SQL,
         "subword_token_counts": SUBWORD_TOKEN_SQL,
         "winnowing_fingerprints": WINNOWING_SQL,
         "ann_ivf_topk": ANN_IVF_SQL,
