@@ -1,0 +1,130 @@
+"""Distributed connected components — the clustering step after
+near-duplicate candidate generation (pairs → duplicate clusters → keep
+one representative per cluster).
+
+Algorithm: iterative min-label propagation.  Every node starts labeled
+with itself; each round, labels flow across edges and every node keeps the
+minimum label seen; fixpoint = components labeled by their minimum node
+id.  Each round is one shuffled join + one aggregation — both plain
+DataFrame ops, so Catalyst/AQE handle partitioning and skew.  Rounds
+needed = graph diameter; near-dup clusters are shallow (a handful of
+rounds).  For adversarially deep graphs (long chains) the alternating
+large-star/small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14) drops rounds to O(log n) — the
+``large_star``/``small_star`` helpers below implement those rounds for
+callers with deep graphs (alternate them until the edge set stabilizes;
+the surviving edges then point every node at its component minimum).
+
+Iterative DataFrame loops grow lineage without bound; every round is cut
+with ``localCheckpoint`` (driver-side truncation, no external checkpoint
+dir needed — on a cluster prefer ``checkpoint`` to survive executor
+loss).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bidirect(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    a = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    return a.unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).filter(F.col("a") != F.col("b")).distinct()
+
+
+def large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al. §3): for every node u, connect
+    each strictly-larger neighbor to min(Γ(u) ∪ {u}).  ``edges`` is an
+    undirected edge list as (a, b) rows in either orientation; output is
+    the same representation."""
+    nbr = _bidirect(edges, "a", "b")
+    m = nbr.groupBy("a").agg(
+        F.least(F.min("b"), F.first("a")).alias("m")
+    )
+    return (
+        nbr.join(m, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: direct each edge large→small; every node u
+    connects its smaller neighbors (and itself) to min(N(u))."""
+    directed = _bidirect(edges, "a", "b").filter(F.col("b") < F.col("a"))
+    m = directed.groupBy("a").agg(F.min("b").alias("m"))
+    out = (
+        directed.join(m, "a")
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .unionByName(m.select(F.col("a"), F.col("m").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return out
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    node_col: str = "node",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(node, component) for every node, component = min node id in its CC.
+
+    ``nodes`` optionally supplies isolated vertices (no edges) which come
+    out as their own singleton components.  Label propagation: per round
+    one join + one min-aggregation, lineage cut with localCheckpoint,
+    early exit when no label changed.
+    """
+    bid = _bidirect(edges, src, dst)
+    edge_nodes = bid.select(F.col("a").alias("node")).distinct()
+    if nodes is not None:
+        all_nodes = (
+            nodes.select(F.col(node_col).alias("node"))
+            .unionByName(edge_nodes)
+            .distinct()
+        )
+    else:
+        all_nodes = edge_nodes
+    labels = all_nodes.select("node", F.col("node").alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+    bid = bid.localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        msgs = bid.join(
+            labels, bid["a"] == labels["node"]
+        ).select(F.col("b").alias("node"), "component")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_cluster_summary(
+    labels: DataFrame, id_col: str = "node", comp_col: str = "component"
+) -> DataFrame:
+    """(component, size, keep) per cluster — ``keep`` is the canonical
+    (minimum-id) member, everything else in the cluster is droppable."""
+    return labels.groupBy(comp_col).agg(
+        F.count(F.lit(1)).alias("size"),
+        F.min(id_col).alias("keep"),
+    )

@@ -1409,6 +1409,57 @@ FROM events GROUP BY event_type
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS, not just pairs: connected components over the
+    MinHash-LSH candidate graph (datapipe/graph.py — iterative min-label
+    propagation, one join+agg per round, lineage cut per round), every
+    document labeled with the min doc_id of its component (singletons
+    label themselves).  Oracle: DuckDB recursive CTE computing the same
+    transitive closure."""
+    from lab_flink_repository_analytics_spark.datapipe import graph
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    pairs = DD.near_dup_candidates(docs).select("id_a", "id_b")
+    labels = graph.connected_components(
+        pairs,
+        src="id_a",
+        dst="id_b",
+        nodes=docs.select("doc_id"),
+        node_col="doc_id",
+    )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE sigs AS ({MINHASH_SQL.strip()}),
+banded AS (
+  SELECT doc_id AS id, b AS band, sig[2*b+1] AS s1, sig[2*b+2] AS s2
+  FROM sigs, unnest([0, 1, 2, 3]) AS u(b)
+),
+pairs AS (
+  SELECT l.id AS id_a, r.id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.s1 = r.s1 AND l.s2 = r.s2 AND l.id < r.id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1455,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_events_per_user": top_events_per_user,
         "event_type_pivot": event_type_pivot,
         "salted_event_rollup": salted_event_rollup,
+        "dedup_clusters": dedup_clusters,
     "subword_token_counts": subword_token_counts,
         "winnowing_fingerprints": winnowing_fingerprints,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1503,6 +1555,7 @@ def oracle_sql() -> dict[str, str]:
         "top_events_per_user": TOP_EVENTS_PER_USER_SQL,
         "event_type_pivot": EVENT_TYPE_PIVOT_SQL,
         "salted_event_rollup": SALTED_EVENT_ROLLUP_SQL,
+        "dedup_clusters": _dedup_clusters_sql(),
         "subword_token_counts": SUBWORD_TOKEN_SQL,
         "winnowing_fingerprints": WINNOWING_SQL,
         "ann_ivf_topk": ANN_IVF_SQL,
