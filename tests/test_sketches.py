@@ -1,0 +1,57 @@
+"""HLL distinct sketches (datapipe/sketches.py): merge-consistency and
+accuracy invariants (binary parity with other engines is undefined, so no
+DuckDB oracle — see the module docstring)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lab_flink_repository_analytics_spark.datapipe import sketches
+
+
+def _events(spark):
+    # 3 "days" × overlapping user sets (users repeat across days)
+    return spark.range(3000).select(
+        (F.col("id") % 3).alias("day"),
+        (F.col("id") % 400).alias("user"),
+    )
+
+
+def test_rollup_of_daily_sketches_equals_global_sketch(spark):
+    df = _events(spark)
+    daily = sketches.distinct_sketches(df, ["day"], "user")
+    total_from_daily = sketches.rollup_sketches(daily, []).collect()[0][
+        "distinct_est"
+    ]
+    total_direct = (
+        sketches.distinct_sketches(df.withColumn("g", F.lit(1)), ["g"], "user")
+        .select(F.hll_sketch_estimate("sketch").alias("e"))
+        .collect()[0]["e"]
+    )
+    # identical input set → identical sketch state → identical estimate
+    assert total_from_daily == total_direct
+
+
+def test_estimates_within_hll_error_of_exact(spark):
+    df = _events(spark)
+    daily = sketches.distinct_sketches(df, ["day"], "user")
+    est = {
+        r["day"]: r["distinct_est"]
+        for r in sketches.rollup_sketches(daily, ["day"]).collect()
+    }
+    exact = {
+        r["day"]: r["n"]
+        for r in df.groupBy("day")
+        .agg(F.count_distinct("user").alias("n"))
+        .collect()
+    }
+    for day, n in exact.items():
+        assert abs(est[day] - n) / n < 0.05  # 4096 registers ≈ 1.6% RSE
+
+
+def test_sketch_column_is_compact_binary(spark):
+    df = _events(spark)
+    daily = sketches.distinct_sketches(df, ["day"], "user")
+    row = daily.limit(1).collect()[0]
+    assert isinstance(row["sketch"], (bytes, bytearray))
+    assert len(row["sketch"]) < 64 * 1024  # KBs, not MBs: storable per key

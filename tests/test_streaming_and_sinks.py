@@ -198,6 +198,52 @@ def test_watermark_drops_late_rows_append_mode(spark, tmp_path):
     }
 
 
+def test_streaming_session_windows_merge_and_finalize(spark, tmp_path):
+    # session_threads_stream end-to-end: rows within the gap merge into
+    # one session; the session only emits once the watermark passes
+    # session_end + gap, and singleton sessions (cnt < 2) survive the
+    # HAVING filter (ref README.md:227-236 unanswered-threads query)
+    src = str(tmp_path / "mails")
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "subject string, date timestamp"
+
+    def run():
+        emails = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withWatermark("date", "1 day")
+        )
+        sess = jobs.session_threads_stream(emails, gap="2 days")
+        q = (
+            sess.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda b, _: None
+                if b.isEmpty()
+                else b.write.mode("append").parquet(out)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # thread A: two messages 1 day apart (merge into ONE session, cnt=2 →
+    # filtered); thread B: singleton (cnt=1 → kept); plus a late-horizon
+    # row far in the future so the watermark finalizes both sessions
+    rows = [
+        ("Re: [DISCUSS] thing", datetime(2021, 1, 1)),
+        ("[DISCUSS] thing", datetime(2021, 1, 2)),
+        ("[VOTE] lonely", datetime(2021, 1, 3)),
+        ("closer", datetime(2021, 3, 1)),
+    ]
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+    run()
+    got = {r["thread"]: r["cnt"] for r in spark.read.parquet(out).collect()}
+    assert got.get("[VOTE] lonely") == 1
+    assert "[DISCUSS] thing" not in got  # merged session has 2 msgs → filtered
+
+
 def test_transform_with_state_profiles_across_batches(spark, tmp_path):
     # the Spark 4 transformWithStateInPandas twin must match the
     # applyInPandasWithState semantics exactly; it only runs on RocksDB.
