@@ -1460,6 +1460,32 @@ SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
 """
 
 
+def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4's VARIANT type: ``parse_json``
+    once, then typed path extraction (``variant_get``) — the shredded
+    binary encoding beats per-access JSON string re-parsing
+    (get_json_object) when several paths are read, and is the engine's
+    answer to schemaless columns at scale.  Oracle extracts the same path
+    with DuckDB's JSON functions."""
+    ev = load_tables(spark, sf_dir)["events"]
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select(k.alias("k"), "user_id")
+        .groupBy(F.pmod(F.col("k"), F.lit(10)).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("users"),
+        )
+    )
+
+
+EVENT_PROPS_VARIANT_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+       count(*) AS n, count(DISTINCT user_id) AS users
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1507,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_pivot": event_type_pivot,
         "salted_event_rollup": salted_event_rollup,
         "dedup_clusters": dedup_clusters,
+        "event_props_variant": event_props_variant,
     "subword_token_counts": subword_token_counts,
         "winnowing_fingerprints": winnowing_fingerprints,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1556,6 +1583,7 @@ def oracle_sql() -> dict[str, str]:
         "event_type_pivot": EVENT_TYPE_PIVOT_SQL,
         "salted_event_rollup": SALTED_EVENT_ROLLUP_SQL,
         "dedup_clusters": _dedup_clusters_sql(),
+        "event_props_variant": EVENT_PROPS_VARIANT_SQL,
         "subword_token_counts": SUBWORD_TOKEN_SQL,
         "winnowing_fingerprints": WINNOWING_SQL,
         "ann_ivf_topk": ANN_IVF_SQL,

@@ -130,3 +130,40 @@ def run_commit_activity_job(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def clicks_before_errors_stream(
+    errors: DataFrame,
+    clicks: DataFrame,
+    window_seconds: float = 600.0,
+) -> DataFrame:
+    """Stream–stream interval join: each error event pairs with the same
+    user's clicks from the preceding ``window_seconds`` (the streaming twin
+    of ``datapipe.joins.interval_join``; Flink interval-join semantics).
+
+    Both inputs must be watermarked — Spark bounds the join state with the
+    watermark plus the explicit time-range predicate, so click state is
+    dropped once no future error can reach back to it (state TTL =
+    watermark delay + window; no unbounded buffering at scale).
+    """
+    e = errors.select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return e.join(
+        c,
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("e_ts"))
+        & (
+            F.col("c_ts")
+            >= F.col("e_ts") - F.expr(f"INTERVAL {int(window_seconds)} SECOND")
+        ),
+    ).select(
+        F.col("e_user").alias("user_id"), "error_id", "e_ts", "click_id", "c_ts"
+    )

@@ -244,6 +244,51 @@ def test_streaming_session_windows_merge_and_finalize(spark, tmp_path):
     assert "[DISCUSS] thing" not in got  # merged session has 2 msgs → filtered
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    # watermarked stream-stream join: clicks within 10 min before an error
+    # pair up; clicks outside the window don't; state is watermark-bounded
+    src_e = str(tmp_path / "errors")
+    src_c = str(tmp_path / "clicks")
+    out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, user_id long, ts timestamp"
+
+    spark.createDataFrame(
+        [(100, 1, datetime(2021, 1, 1, 10, 0, 0)), (101, 2, datetime(2021, 1, 1, 10, 0, 0))],
+        schema,
+    ).write.parquet(src_e)
+    spark.createDataFrame(
+        [
+            (1, 1, datetime(2021, 1, 1, 9, 51, 0)),   # in window for error 100
+            (2, 1, datetime(2021, 1, 1, 9, 49, 0)),   # 11 min before → out
+            (3, 2, datetime(2021, 1, 1, 9, 59, 0)),   # in window for error 101
+            (4, 3, datetime(2021, 1, 1, 9, 59, 0)),   # other user → out
+        ],
+        schema,
+    ).write.parquet(src_c)
+
+    errors = jobs.stream_source(spark, src_e, schema, "ts", "1 hour")
+    clicks = jobs.stream_source(spark, src_c, schema, "ts", "1 hour")
+    joined = jobs.clicks_before_errors_stream(errors, clicks, 600.0)
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(
+            lambda b, _: None
+            if b.isEmpty()
+            else b.write.mode("append").parquet(out)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["error_id"], r["click_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(100, 1), (101, 3)}
+
+
 def test_transform_with_state_profiles_across_batches(spark, tmp_path):
     # the Spark 4 transformWithStateInPandas twin must match the
     # applyInPandasWithState semantics exactly; it only runs on RocksDB.
