@@ -202,3 +202,60 @@ def get_email_aliases_and_company(
         company.alias("company"),
         folded["since"].alias("companySince"),
     )
+
+
+def email_profiles_df(
+    df,
+    person: str = "person",
+    email: str = "email",
+    ts: str = "ts",
+):
+    """Table-scale twin of :func:`get_email_aliases_and_company`.
+
+    The expression form folds each group's rows with ``F.aggregate``, which
+    Spark interprets per element — fine for small groups, a Python-free but
+    interpreter-bound scan at 100 TB.  This variant keeps the identical
+    semantics fully inside codegen/window execution via the change-point
+    formulation: a row *changes* the company iff its domain is valid
+    (non-null, not excluded) and differs from the previous VALID row's
+    domain (which always equals the accumulator's company at that point in
+    the fold, ref GetEmailAliasesAndCompany.java:100-108); the final
+    (company, companySince) is then the (domain, ts) of the LAST change
+    row — one window pass + one aggregation, and the aggregation reuses
+    the window's hash partitioning (no second exchange).
+
+    Returns one row per person: (person, aliases, company, companySince).
+    """
+    from pyspark.sql import Window
+
+    e, t = F.col(email), F.col(ts)
+    dom = _email_domain(e)
+    excludes = F.array(*[F.lit(d) for d in COMPANY_EXCLUDES])
+    valid = dom.isNotNull() & ~F.array_contains(excludes, F.lower(dom))
+
+    w = (
+        Window.partitionBy(person)
+        .orderBy(t, e)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_valid_dom = F.last(F.when(valid, dom), ignorenulls=True).over(w)
+    is_change = valid & ~dom.eqNullSafe(prev_valid_dom)
+
+    key = F.struct(t.alias("ts"), e.alias("email"))
+    enriched = df.withColumn("__dom", dom).withColumn("__chg", is_change)
+    rows = F.array_sort(
+        F.collect_list(F.when(e.isNotNull(), F.struct(t.alias("ts"), e.alias("email"))))
+    )
+    out = enriched.groupBy(person).agg(
+        F.array_distinct(F.transform(rows, lambda r: r["email"])).alias("aliases"),
+        F.max_by(F.col("__dom"), F.when(F.col("__chg"), key)).alias("__c"),
+        F.max(F.when(F.col("__chg"), t)).alias("companySince"),
+    )
+    return out.select(
+        person,
+        "aliases",
+        F.regexp_replace(
+            F.col("__c"), VERVERICA_ALIASES_PATTERN, "ververica.com"
+        ).alias("company"),
+        "companySince",
+    )

@@ -579,15 +579,17 @@ def aliases_company(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("shop"), (u % 2).cast("string"), F.lit(".io"))),
     )
     return (
-        t["events"]
-        .select("user_id", email.alias("email"), "ts")
-        .groupBy("user_id")
-        .agg(AGG.get_email_aliases_and_company("email", "ts").alias("p"))
+        AGG.email_profiles_df(
+            t["events"].select("user_id", email.alias("email"), "ts"),
+            person="user_id",
+            email="email",
+            ts="ts",
+        )
         .select(
             "user_id",
-            F.col("p.aliases").alias("aliases"),
-            F.col("p.company").alias("company"),
-            F.col("p.companySince").alias("companySince"),
+            F.col("aliases"),
+            F.col("company"),
+            F.col("companySince"),
         )
     )
 

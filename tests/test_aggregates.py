@@ -162,3 +162,52 @@ def test_aliases_company_case_insensitive_exclude_and_no_domain(spark):
     )
     assert out["company"] == "corp.io"
     assert out["companySince"] == ts(3)
+
+
+def test_email_profiles_df_matches_expression_fold(spark):
+    # the windowed change-point variant must equal the F.aggregate fold on
+    # every tricky shape: A->B->A re-stamp, excluded domain inside a run,
+    # null emails, persons with no valid domain at all
+    from datetime import datetime as dt
+
+    rows = [
+        # A->B->A: since must re-stamp at t5
+        ("p1", "x@test.com", dt(2021, 1, 1)),
+        ("p1", "x@test2.com", dt(2021, 1, 2)),
+        ("p1", "x@test.com", dt(2021, 1, 5)),
+        # excluded domain mid-run must NOT break the run
+        ("p2", "y@corp.io", dt(2021, 1, 1)),
+        ("p2", "y@gmail.com", dt(2021, 1, 2)),
+        ("p2", "y@corp.io", dt(2021, 1, 3)),
+        # only excluded/null → company null
+        ("p3", "z@gmail.com", dt(2021, 1, 1)),
+        ("p3", None, dt(2021, 1, 2)),
+        # historic domain rewrite on output
+        ("p4", "w@data-artisans.com", dt(2021, 1, 1)),
+    ]
+    df = spark.createDataFrame(rows, "person string, email string, ts timestamp")
+
+    got = {
+        r["person"]: (r["aliases"], r["company"], r["companySince"])
+        for r in A.email_profiles_df(df).collect()
+    }
+    want = {
+        r["person"]: (r["p"]["aliases"], r["p"]["company"], r["p"]["companySince"])
+        for r in df.groupBy("person")
+        .agg(A.get_email_aliases_and_company("email", "ts").alias("p"))
+        .collect()
+    }
+    assert got == want
+    assert got["p1"][1] == "test.com" and got["p1"][2] == dt(2021, 1, 5)
+    assert got["p2"][2] == dt(2021, 1, 1)  # gmail didn't interrupt the run
+    assert got["p3"][1] is None and got["p3"][2] is None
+    assert got["p4"][1] == "ververica.com"
+
+
+def test_email_profiles_df_single_exchange(spark):
+    df = spark.createDataFrame(
+        [("p", "a@b.com", None)], "person string, email string, ts timestamp"
+    )
+    plan = A.email_profiles_df(df)._jdf.queryExecution().executedPlan().toString()
+    # the groupBy reuses the window's hashpartitioning(person): ONE exchange
+    assert plan.count("Exchange hashpartitioning") == 1
