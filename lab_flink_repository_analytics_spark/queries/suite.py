@@ -1488,6 +1488,72 @@ FROM events GROUP BY 1
 """
 
 
+def late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (TPC-H Q4 shape on this schema): orders in 1996-H1 with
+    at least one line shipped >90 days after the order date, counted by
+    priority.  ``left_semi`` keeps one probe row per match group — no
+    duplicate explosion, no post-join dedup; plans as a shuffled hash
+    semi-join (or broadcast when the build side is small)."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+LATE_ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers that never placed an URGENT-priority order,
+    counted per market segment.  ``left_anti`` is the dual of the
+    semi-join — same single shuffle on the key, NULL-safe by construction
+    (unlike NOT IN, which a single NULL poisons)."""
+    t = load_tables(spark, sf_dir)
+    quiet = t["customer"].join(
+        t["orders"]
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return quiet.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("quiet_customers")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_mktsegment, count(*) AS quiet_customers
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+GROUP BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1536,6 +1602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_event_rollup": salted_event_rollup,
         "dedup_clusters": dedup_clusters,
         "event_props_variant": event_props_variant,
+        "late_order_priority": late_order_priority,
+        "customers_without_orders": customers_without_orders,
     "subword_token_counts": subword_token_counts,
         "winnowing_fingerprints": winnowing_fingerprints,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1586,6 +1654,8 @@ def oracle_sql() -> dict[str, str]:
         "salted_event_rollup": SALTED_EVENT_ROLLUP_SQL,
         "dedup_clusters": _dedup_clusters_sql(),
         "event_props_variant": EVENT_PROPS_VARIANT_SQL,
+        "late_order_priority": LATE_ORDER_PRIORITY_SQL,
+        "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
         "subword_token_counts": SUBWORD_TOKEN_SQL,
         "winnowing_fingerprints": WINNOWING_SQL,
         "ann_ivf_topk": ANN_IVF_SQL,
