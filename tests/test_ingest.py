@@ -236,3 +236,45 @@ def test_github_pull_row():
     assert row["mergeCommit"] == "deadbeef"
     assert row["mergedAt"] == datetime(2021, 1, 3, 0, 0)
     assert row["commentsCount"] == 5
+
+
+def test_github_commits_python_datasource(spark, tmp_path):
+    # the Spark 4 Python DataSource: one input partition per day slice,
+    # fixture-backed (offline), rows land in schemas.COMMIT shape
+    import json
+
+    from lab_flink_repository_analytics_spark.ingest import github_source
+
+    fx = {
+        "sha": "abc123",
+        "commit": {
+            "message": "FLINK-1 fix\n\nbody",
+            "author": {"name": "Ada", "email": "ada@corp.com", "date": "2024-01-02T10:00:00Z"},
+            "committer": {"name": "Bob", "email": "bob@corp.com", "date": "2024-01-02T11:00:00Z"},
+        },
+        "author": {"login": "ada"},
+        "committer": {"login": "bob"},
+        "files": [{"filename": "flink-core/src/A.java", "additions": 3, "deletions": 1, "changes": 4}],
+    }
+    (tmp_path / "commits_2024-01-02.json").write_text(json.dumps([fx]))
+    # day 1 and 3 have no fixture file -> empty partitions, not errors
+
+    github_source.register(spark)
+    df = (
+        spark.read.format("github_commits")
+        .option("since", "2024-01-01")
+        .option("until", "2024-01-04")
+        .option("fixture_dir", str(tmp_path))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3  # one per day slice
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["sha1"] == "abc123"
+    assert r["author"] == "ada" and r["committer"] == "bob"
+    assert r["shortInfo"] == "FLINK-1 fix"
+    assert r["filesChanged"][0]["linesAdded"] == 3
+    from datetime import datetime as dt
+
+    assert r["commitDate"] == dt(2024, 1, 2, 11, 0, 0)
