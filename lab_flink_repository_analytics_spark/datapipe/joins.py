@@ -38,10 +38,15 @@ def asof_join(
     payload: Sequence[str] | None = None,
     tolerance_seconds: float | None = None,
     suffix: str = "r_",
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, attach the latest right row with
     ``right.time <= left.time`` and equal key(s) (backward as-of; ties
     match — DuckDB ``ASOF LEFT JOIN ... ON l.k = r.k AND l.t >= r.t``).
+    ``direction='forward'`` instead attaches the EARLIEST right row with
+    ``right.time >= left.time`` (same single-exchange plan, mirrored
+    ordering); ``'nearest'`` runs both and keeps the smaller time gap
+    (ties prefer the backward match, like Pandas ``merge_asof``).
 
     Left rows keep all their columns; the matched right payload columns are
     appended as ``{suffix}{col}`` plus ``{suffix}{right_time}`` (all NULL
@@ -78,23 +83,55 @@ def asof_join(
     )
     r2 = r2.withColumn("__row", F.lit(None).cast(l2.schema["__row"].dataType))
 
-    # right rows sort before left rows at equal timestamps → `>=` semantics
-    w = (
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction: {direction!r}")
+
+    # right rows sort before left rows at equal timestamps → ties match in
+    # both directions.  Backward scans time ascending carrying the newest
+    # right row seen; forward scans descending carrying the earliest
+    # right row ≥ the current position.  Same exchange either way.
+    unioned = l2.unionByName(r2)
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    wb = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__t"), F.col("__side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .orderBy(F.col("__t").asc(), F.col("__side"))
+        .rowsBetween(*frame)
     )
-    carried = (
-        l2.unionByName(r2)
-        .withColumn("__m", F.last("__p", ignorenulls=True).over(w))
-        .filter(F.col("__side") == 1)
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").desc(), F.col("__side"))
+        .rowsBetween(*frame)
     )
-    if tolerance_seconds is not None:
-        within = (
-            F.col("__t").cast("double") - F.col("__m.__rt").cast("double")
-            <= F.lit(float(tolerance_seconds))
+
+    def _within_tol(m, gap):
+        if tolerance_seconds is None:
+            return m
+        return F.when(gap <= F.lit(float(tolerance_seconds)), m)
+
+    lt = F.col("__t").cast("double")
+    if direction in ("backward", "nearest"):
+        unioned = unioned.withColumn("__mb", F.last("__p", ignorenulls=True).over(wb))
+    if direction in ("forward", "nearest"):
+        unioned = unioned.withColumn("__mf", F.last("__p", ignorenulls=True).over(wf))
+    carried = unioned.filter(F.col("__side") == 1)
+
+    if direction == "backward":
+        m = _within_tol(F.col("__mb"), lt - F.col("__mb.__rt").cast("double"))
+    elif direction == "forward":
+        m = _within_tol(F.col("__mf"), F.col("__mf.__rt").cast("double") - lt)
+    else:
+        gap_b = lt - F.col("__mb.__rt").cast("double")
+        gap_f = F.col("__mf.__rt").cast("double") - lt
+        mb = _within_tol(F.col("__mb"), gap_b)
+        mf = _within_tol(F.col("__mf"), gap_f)
+        # ties prefer the backward match (Pandas merge_asof convention)
+        m = (
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when(gap_b <= gap_f, mb)
+            .otherwise(mf)
         )
-        carried = carried.withColumn("__m", F.when(within, F.col("__m")))
+    carried = carried.withColumn("__m", m)
     return carried.select(
         F.col("__row.*"),
         F.col("__m.__rt").alias(f"{suffix}{right_time}"),

@@ -152,3 +152,71 @@ def media_summary(media: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.length("payload")).alias("total_bytes"),
     )
+
+
+RESIZED_IMAGE = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """media rows → fixed-size image payloads via mapInPandas.
+
+    STUB pixel work (no PIL/opencv in this container): the fake re-encode
+    is an md5 stretch of the payload to a deterministic ``width*height``-
+    seeded byte string, so batch shapes, schema, and partition behavior —
+    the Spark-side contract — are real and tested.  Swapping in
+    ``PIL.Image.resize`` changes only ``_resize_payload``.
+    """
+    try:  # pragma: no cover - not installed in this container
+        from PIL import Image  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    def _resize_payload(p: bytes) -> bytes:
+        if have_pil and not deterministic_fake:  # pragma: no cover
+            import io
+
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(p)).resize((width, height))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue()
+        if not deterministic_fake:
+            raise NotImplementedError(
+                "image resizing requires PIL; run with deterministic_fake=True"
+            )
+        seed = hashlib.md5((p or b"") + f"{width}x{height}".encode()).digest()
+        reps = (width * height) // len(seed) + 1
+        return (seed * reps)[: width * height]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "payload": [
+                        _resize_payload(p if p is not None else b"")
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=RESIZED_IMAGE
+    )

@@ -149,3 +149,54 @@ def test_interval_join_no_nested_loop(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_forward_direction(spark):
+    trades, quotes = _trades_quotes(spark)
+    out = asof_join(
+        trades, quotes, on="k", payload=["quote"], direction="forward"
+    )
+    got = {(r["k"], r["ts"]): (r["r_ts"], r["r_quote"]) for r in out.collect()}
+    # k=3 trade @9:00 has no backward quote but a forward one @12:00
+    assert got[(3, dt(2024, 1, 1, 9, 0, 0))] == (dt(2024, 1, 1, 12, 0, 0), 7.7)
+    # k=1 @10:00 → earliest quote at/after is the 10:05 one
+    assert got[(1, dt(2024, 1, 1, 10, 0, 0))] == (dt(2024, 1, 1, 10, 5, 0), 100.9)
+    # tie at 10:05 matches forward too
+    assert got[(1, dt(2024, 1, 1, 10, 5, 0))] == (dt(2024, 1, 1, 10, 5, 0), 100.9)
+
+
+def test_asof_nearest_prefers_smaller_gap_and_backward_ties(spark):
+    left = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 10, 0, 0), "x")], "k long, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 9, 58, 0), "b"),   # 2 min before
+            (1, dt(2024, 1, 1, 10, 1, 0), "f"),   # 1 min after → nearest
+        ],
+        "k long, ts timestamp, v string",
+    )
+    out = asof_join(left, right, on="k", payload=["v"], direction="nearest")
+    assert out.collect()[0]["r_v"] == "f"
+
+    # equidistant: backward wins
+    right2 = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 9, 59, 0), "b"),
+            (1, dt(2024, 1, 1, 10, 1, 0), "f"),
+        ],
+        "k long, ts timestamp, v string",
+    )
+    out2 = asof_join(left, right2, on="k", payload=["v"], direction="nearest")
+    assert out2.collect()[0]["r_v"] == "b"
+
+
+def test_asof_forward_tolerance(spark):
+    trades, quotes = _trades_quotes(spark)
+    out = asof_join(
+        trades, quotes, on="k", payload=["quote"],
+        direction="forward", tolerance_seconds=60.0,
+    )
+    got = {(r["k"], r["ts"]): r["r_quote"] for r in out.collect()}
+    assert got[(3, dt(2024, 1, 1, 9, 0, 0))] is None  # 3h away > 60s
+    assert got[(1, dt(2024, 1, 1, 10, 5, 0))] == 100.9  # 0s

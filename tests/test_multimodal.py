@@ -51,3 +51,17 @@ def test_media_summary(spark):
     out = {(r["kind"], r["mime"]): (r["n"], r["total_bytes"]) for r in MM.media_summary(_media(spark)).collect()}
     assert out[("video", "video/mp4")][0] == 3
     assert out[("image", "image/png")][0] == 2
+
+
+def test_resize_images_shape_and_determinism(spark):
+    out = {r["media_id"]: r for r in MM.resize_images(_media(spark), 8, 4).collect()}
+    assert len(out) == 6
+    for r in out.values():
+        assert r["width"] == 8 and r["height"] == 4
+        assert len(r["payload"]) == 8 * 4  # fixed-size fake re-encode
+    again = {r["media_id"]: r for r in MM.resize_images(_media(spark), 8, 4).collect()}
+    assert again["m1"]["payload"] == out["m1"]["payload"]  # deterministic
+    # different target size -> different payload (size is in the seed)
+    other = {r["media_id"]: r for r in MM.resize_images(_media(spark), 4, 8).collect()}
+    assert other["m1"]["payload"] != out["m1"]["payload"]
+
