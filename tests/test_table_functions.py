@@ -51,3 +51,23 @@ def test_expand2_with_count(spark):
     assert (3, "Tests", 2) in got
     assert (3, "Formats (JSON, Avro, Parquet, ORC, SequenceFile)", 2) in got
     assert (1, None, None) in got
+
+
+def test_expand_components_python_udtf(spark):
+    # the SQL LATERAL surface: same rows as the codegen explode form
+    from lab_flink_repository_analytics_spark.functions import udtf as U
+
+    U.register(spark)
+    df = spark.createDataFrame(
+        [(1, ["API", "Runtime"]), (2, []), (3, None)],
+        "id int, components array<string>",
+    )
+    df.createOrReplaceTempView("tickets_udtf")
+    out = spark.sql(
+        """
+        SELECT id, component, componentCount
+        FROM tickets_udtf, LATERAL expand_jira_components(components)
+        """
+    ).collect()
+    got = sorted((r["id"], r["component"], r["componentCount"]) for r in out)
+    assert got == [(1, "API", 2), (1, "Runtime", 2)]
