@@ -59,13 +59,59 @@ class GithubCommitsReader(DataSourceReader):
         self.fixture_dir = options.get("fixture_dir")
         if not self.since or not self.until:
             raise ValueError("github_commits requires 'since' and 'until' options")
+        self._pushed_lo = None  # date bounds tightened by pushFilters
+        self._pushed_hi = None
+
+    def pushFilters(self, filters):
+        """Prune day-slice partitions from commitDate range predicates.
+
+        Every filter is also returned (Spark re-applies it exactly); the
+        source only uses the bounds to shrink the slice list — partition
+        pruning for a Python source, same contract as parquet partition
+        filters.  A ``commitDate >= X`` drops the days before X's; a
+        ``< / <= X`` drops the days after.
+        """
+        from pyspark.sql.datasource import (
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            if getattr(f, "attribute", None) == ("commitDate",):
+                v = getattr(f, "value", None)
+                if isinstance(v, datetime) and v.tzinfo is not None:
+                    from datetime import timezone
+
+                    v = v.astimezone(timezone.utc).replace(tzinfo=None)
+                d = v.date() if isinstance(v, datetime) else None
+                if d is not None:
+                    if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                        if self._pushed_lo is None or d > self._pushed_lo:
+                            self._pushed_lo = d
+                    elif isinstance(f, (LessThan, LessThanOrEqual)):
+                        # strict < at exact midnight excludes that whole day
+                        at_midnight = v == datetime(d.year, d.month, d.day)
+                        hi = (
+                            d
+                            if isinstance(f, LessThan) and at_midnight
+                            else d + timedelta(days=1)
+                        )
+                        if self._pushed_hi is None or hi < self._pushed_hi:
+                            self._pushed_hi = hi
+            yield f
 
     def partitions(self):
         d0 = datetime.fromisoformat(self.since).date()
         d1 = datetime.fromisoformat(self.until).date()
+        if self._pushed_lo is not None and self._pushed_lo > d0:
+            d0 = self._pushed_lo
+        if self._pushed_hi is not None and self._pushed_hi < d1:
+            d1 = self._pushed_hi
         return [
             _DaySlice((d0 + timedelta(days=i)).isoformat())
-            for i in range((d1 - d0).days)
+            for i in range(max((d1 - d0).days, 0))
         ]
 
     def read(self, partition: _DaySlice):

@@ -74,6 +74,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # allow Python DataSources (ingest/github_source.py) to prune
+        # their input partitions from pushed filters
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # the driver's events.parquet carries TIMESTAMP(NANOS) which Spark
         # rejects by default; read as long (ns) and convert in load_tables
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

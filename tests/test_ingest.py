@@ -278,3 +278,46 @@ def test_github_commits_python_datasource(spark, tmp_path):
     from datetime import datetime as dt
 
     assert r["commitDate"] == dt(2024, 1, 2, 11, 0, 0)
+
+
+def test_github_datasource_prunes_slices_from_pushed_filters(spark, tmp_path):
+    # commitDate range predicates prune day-slice partitions at planning
+    # time (pushFilters); Spark still re-applies the exact predicate
+    import json
+    from datetime import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from lab_flink_repository_analytics_spark.ingest import github_source
+
+    def fx(day, sha):
+        return {
+            "sha": sha,
+            "commit": {
+                "message": f"c {sha}",
+                "author": {"name": "A", "email": "a@x.com", "date": f"{day}T10:00:00Z"},
+                "committer": {"name": "A", "email": "a@x.com", "date": f"{day}T10:00:00Z"},
+            },
+            "files": [],
+        }
+
+    for day, sha in [("2024-01-01", "s1"), ("2024-01-02", "s2"), ("2024-01-03", "s3")]:
+        (tmp_path / f"commits_{day}.json").write_text(json.dumps([fx(day, sha)]))
+
+    github_source.register(spark)
+    base = (
+        spark.read.format("github_commits")
+        .option("since", "2024-01-01")
+        .option("until", "2024-01-04")
+        .option("fixture_dir", str(tmp_path))
+        .load()
+    )
+    assert base.rdd.getNumPartitions() == 3
+    pruned = base.filter(F.col("commitDate") >= dt(2024, 1, 3))
+    assert pruned.rdd.getNumPartitions() == 1  # two slices pruned away
+    assert [r["sha1"] for r in pruned.collect()] == ["s3"]
+    both = base.filter(
+        (F.col("commitDate") >= dt(2024, 1, 2)) & (F.col("commitDate") < dt(2024, 1, 3))
+    )
+    assert both.rdd.getNumPartitions() == 1
+    assert [r["sha1"] for r in both.collect()] == ["s2"]
