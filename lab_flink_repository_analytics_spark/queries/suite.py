@@ -1554,6 +1554,36 @@ GROUP BY c_mktsegment
 """
 
 
+def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split of documents (datapipe/sampling.py)
+    counted per (split, lang).  Membership is a pure md5-bucket function
+    of doc_id — stable across engines/re-shards — so the oracle recomputes
+    the exact assignment in DuckDB."""
+    from lab_flink_repository_analytics_spark.datapipe import sampling
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        sampling.deterministic_split(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+TRAIN_TEST_SPLIT_SQL = """
+WITH b AS (
+  SELECT lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+           AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'valid'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n
+FROM b GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1604,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_props_variant": event_props_variant,
         "late_order_priority": late_order_priority,
         "customers_without_orders": customers_without_orders,
+        "train_test_split_counts": train_test_split_counts,
     "subword_token_counts": subword_token_counts,
         "winnowing_fingerprints": winnowing_fingerprints,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1656,6 +1687,7 @@ def oracle_sql() -> dict[str, str]:
         "event_props_variant": EVENT_PROPS_VARIANT_SQL,
         "late_order_priority": LATE_ORDER_PRIORITY_SQL,
         "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "train_test_split_counts": TRAIN_TEST_SPLIT_SQL,
         "subword_token_counts": SUBWORD_TOKEN_SQL,
         "winnowing_fingerprints": WINNOWING_SQL,
         "ann_ivf_topk": ANN_IVF_SQL,

@@ -1,0 +1,64 @@
+"""Dataset splitting/sampling (datapipe/sampling.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lab_flink_repository_analytics_spark.datapipe import sampling
+
+
+def test_split_is_deterministic_and_resharding_stable(spark):
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {
+        r["doc_id"]: r["split"]
+        for r in sampling.deterministic_split(df, "doc_id").collect()
+    }
+    # same ids, different partitioning → identical assignment
+    b = {
+        r["doc_id"]: r["split"]
+        for r in sampling.deterministic_split(df.repartition(13), "doc_id").collect()
+    }
+    assert a == b
+    # a subset sees the same labels as the full set (no reassignment)
+    c = {
+        r["doc_id"]: r["split"]
+        for r in sampling.deterministic_split(
+            df.filter(F.col("doc_id") < 500), "doc_id"
+        ).collect()
+    }
+    assert all(a[k] == v for k, v in c.items())
+
+
+def test_split_fractions_roughly_hold(spark):
+    df = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    counts = (
+        sampling.deterministic_split(df, "doc_id")
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    got = {r["split"]: r["count"] / 20_000 for r in counts}
+    assert abs(got["train"] - 0.8) < 0.02
+    assert abs(got["valid"] - 0.1) < 0.01
+    assert abs(got["test"] - 0.1) < 0.01
+
+
+def test_split_fractions_must_sum_to_one(spark):
+    df = spark.range(10).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        sampling.deterministic_split(df, "doc_id", [("a", 0.5), ("b", 0.4)])
+
+
+def test_stratified_sample_rates_and_dropped_strata(spark):
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 8, "en").otherwise("de").alias("lang"),
+    )
+    out = sampling.stratified_sample(df, "lang", {"en": 0.1})
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert "de" not in counts  # absent stratum → dropped
+    assert abs(counts["en"] - 800) < 150  # 8000 * 0.1, Bernoulli noise
+    # seeded: repeatable
+    again = sampling.stratified_sample(df, "lang", {"en": 0.1})
+    assert again.count() == out.count()
