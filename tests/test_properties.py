@@ -161,3 +161,43 @@ def test_component_pattern_prefix_free(spark):
     for p, c in got.items():
         if c is not None:
             assert p.startswith(c) or c in ("docs",), (p, c)
+
+
+def test_asof_join_matches_pandas_merge_asof_on_random_data(spark):
+    """Adversarial temporal-join check: asof_join (union + carry-forward
+    window) must reproduce pandas merge_asof exactly on randomized keyed
+    series — one Spark round-trip over a batch of seeded cases."""
+    import random
+
+    import pandas as pd
+
+    from lab_flink_repository_analytics_spark.datapipe.joins import asof_join
+
+    rng = random.Random(42)
+    base = pd.Timestamp("2024-01-01")
+    lefts, rights = [], []
+    for case in range(20):
+        k = case  # one key per case keeps pandas/groupwise semantics simple
+        for _ in range(rng.randrange(1, 10)):
+            lefts.append((k, base + pd.Timedelta(seconds=rng.randrange(0, 3600)), float(rng.randrange(100))))
+        for _ in range(rng.randrange(0, 10)):
+            rights.append((k, base + pd.Timedelta(seconds=rng.randrange(0, 3600)), float(rng.randrange(100))))
+    lp = pd.DataFrame(lefts, columns=["k", "ts", "lv"]).drop_duplicates(["k", "ts"])
+    rp = pd.DataFrame(rights, columns=["k", "ts", "rv"]).drop_duplicates(["k", "ts"])
+
+    want = pd.merge_asof(
+        lp.sort_values("ts"), rp.sort_values("ts"), on="ts", by="k",
+        direction="backward",
+    )
+    want_map = {
+        (int(r.k), r.ts.to_pydatetime()): (None if pd.isna(r.rv) else r.rv)
+        for r in want.itertuples()
+    }
+
+    ldf = spark.createDataFrame(lp, "k long, ts timestamp, lv double")
+    rdf = spark.createDataFrame(rp, "k long, ts timestamp, rv double")
+    got = {
+        (r["k"], r["ts"]): r["r_rv"]
+        for r in asof_join(ldf, rdf, on="k", payload=["rv"]).collect()
+    }
+    assert got == want_map
