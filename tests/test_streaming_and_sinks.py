@@ -550,3 +550,30 @@ def test_fan_out(spark, tmp_path):
     )
     assert sorted(r["x"] for r in spark.read.parquet(p1).collect()) == [1, 2]
     assert sorted(r["x"] for r in spark.read.parquet(p2).collect()) == [2, 4]
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    # simulate the streaming-upsert aftermath: 20 tiny appends
+    for i in range(20):
+        spark.range(i * 50, (i + 1) * 50).select(
+            F.col("id"), (F.col("id") % 7).alias("g")
+        ).coalesce(1).write.mode("append").parquet(path)
+    import glob
+
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 20
+
+    n = sinks.compact_parquet(spark, path, target_rows_per_file=600, sort_cols=["id"])
+    after = glob.glob(f"{path}/*.parquet")
+    assert len(after) == n == 2  # 1000 rows / 600 → 2 files
+    df = spark.read.parquet(path)
+    assert df.count() == 1000
+    assert df.agg(F.sum("id")).collect()[0][0] == sum(range(1000))
+    # range-partitioned + sorted: each file's id span is disjoint
+    import pyarrow.parquet as pq
+
+    spans = sorted(
+        (pq.read_table(f, columns=["id"])["id"].to_pylist()) for f in after
+    )
+    assert spans[0][-1] < spans[1][0]
