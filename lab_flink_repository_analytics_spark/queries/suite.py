@@ -1584,6 +1584,45 @@ FROM b GROUP BY 1, 2
 """
 
 
+def funnel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.E marks them absent in the reference —
+    completing the built-in surface): INTERSECT finds users who both
+    clicked and purchased, EXCEPT finds users who viewed but never
+    purchased; both tagged and unioned.  Spark plans INTERSECT/EXCEPT as
+    aggregated semi/anti joins — no quadratic set comparison."""
+    ev = load_tables(spark, sf_dir)["events"]
+
+    def users_of(kind: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == kind).select("user_id").distinct()
+
+    both = (
+        users_of("click")
+        .intersect(users_of("purchase"))
+        .select("user_id", F.lit("click_and_purchase").alias("relation"))
+    )
+    window_shoppers = (
+        users_of("view")
+        .exceptAll(users_of("purchase"))
+        .select("user_id", F.lit("view_no_purchase").alias("relation"))
+    )
+    return both.unionByName(window_shoppers)
+
+
+FUNNEL_SET_OPS_SQL = """
+SELECT user_id, 'click_and_purchase' AS relation FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+UNION ALL
+SELECT user_id, 'view_no_purchase' AS relation FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1635,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_order_priority": late_order_priority,
         "customers_without_orders": customers_without_orders,
         "train_test_split_counts": train_test_split_counts,
+        "funnel_set_ops": funnel_set_ops,
     "subword_token_counts": subword_token_counts,
         "winnowing_fingerprints": winnowing_fingerprints,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1688,6 +1728,7 @@ def oracle_sql() -> dict[str, str]:
         "late_order_priority": LATE_ORDER_PRIORITY_SQL,
         "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
         "train_test_split_counts": TRAIN_TEST_SPLIT_SQL,
+        "funnel_set_ops": FUNNEL_SET_OPS_SQL,
         "subword_token_counts": SUBWORD_TOKEN_SQL,
         "winnowing_fingerprints": WINNOWING_SQL,
         "ann_ivf_topk": ANN_IVF_SQL,
