@@ -161,6 +161,84 @@ def winnow_fingerprints(
     return F.array_sort(F.array_distinct(sel))
 
 
+def repetition_metrics_df(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    uses duplicate-n-gram fractions as corpus-quality filters):
+
+    - ``top_word_fraction``  — count of the most frequent token / n_tokens
+      (high → boilerplate / keyword stuffing)
+    - ``dup_bigram_fraction`` — 1 − distinct_bigrams / total_bigrams
+      (high → repeated phrasing)
+
+    Plan shape for 100 TB: bigram generation happens in the row-local
+    expression (no shuffle), both token and bigram frequencies are plain
+    two-level hash aggregations with map-side partials, and the two
+    per-doc summaries meet in a single join keyed by doc id.  Shuffle
+    volume is one row per *distinct* (doc, token) / (doc, bigram) — far
+    below the exploded size on repetitive (i.e. interesting) documents.
+    Docs with fewer than two tokens report zero bigrams and a 0.0
+    duplicate fraction.
+    """
+    from lab_flink_repository_analytics_spark.session import rebalance
+
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, (i + 1).cast("int")),
+                F.element_at(toks, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    base = rebalance(docs)
+    words = base.select(F.col(id_col).alias("id"), F.explode(toks).alias("word"))
+    ws = (
+        words.groupBy("id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.max("c").alias("top_word_cnt"),
+            F.sum("c").alias("n_tokens"),
+        )
+    )
+    bs = (
+        base.select(F.col(id_col).alias("id"), F.explode(bigrams).alias("bg"))
+        .groupBy("id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        )
+    )
+    joined = ws.join(bs, "id", "left")
+    n_bigrams = F.coalesce(F.col("n_bigrams"), F.lit(0))
+    n_dist = F.coalesce(F.col("n_distinct_bigrams"), F.lit(0))
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.col("n_tokens"),
+        F.col("top_word_cnt"),
+        (F.col("top_word_cnt").cast("double") / F.col("n_tokens")).alias(
+            "top_word_fraction"
+        ),
+        n_bigrams.alias("n_bigrams"),
+        n_dist.alias("n_distinct_bigrams"),
+        F.when(n_bigrams > 0, F.lit(1.0) - n_dist.cast("double") / n_bigrams)
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_fraction"),
+    )
+
+
 def winnow_fingerprints_df(
     docs,
     text_col: str = "text",

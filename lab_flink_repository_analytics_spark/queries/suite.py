@@ -1623,6 +1623,209 @@ SELECT user_id, 'view_no_purchase' AS relation FROM (
 """
 
 
+def running_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames: per-customer running spend (cumulative DECIMAL sum
+    over an explicit ROWS frame), order sequence number, and gap in days
+    since the previous order (lag).  One hash-partition-by-customer
+    exchange feeds all three window functions — Catalyst computes them in
+    a single Window operator because they share partitioning + ordering."""
+    from pyspark.sql import Window
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.expr(f"CAST(o_totalprice AS {DEC})"))
+        .over(wcum)
+        .cast("double")
+        .alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+        F.coalesce(
+            F.datediff(
+                F.to_date("o_orderdate"),
+                F.to_date(F.lag("o_orderdate").over(w)),
+            ),
+            F.lit(-1),
+        ).alias("days_since_prev"),
+    )
+
+
+RUNNING_CUSTOMER_REVENUE_SQL = f"""
+SELECT o_custkey, o_orderkey, o_orderdate,
+  CAST(sum(CAST(o_totalprice AS {DEC})) OVER wcum AS DOUBLE) AS running_spend,
+  row_number() OVER w AS order_seq,
+  COALESCE(date_diff('day',
+      CAST(lag(o_orderdate) OVER w AS DATE),
+      CAST(o_orderdate AS DATE)), -1) AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+  wcum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document
+    (datapipe/text.py::repetition_metrics_df): top-word fraction and
+    duplicate-bigram fraction."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TX.repetition_metrics_df(docs)
+
+
+NGRAM_REPETITION_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+wc AS (
+  SELECT doc_id, word, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS word FROM toks) GROUP BY 1, 2
+),
+ws AS (
+  SELECT doc_id, max(c) AS top_word_cnt, CAST(sum(c) AS BIGINT) AS n_tokens
+  FROM wc GROUP BY doc_id
+),
+bc AS (
+  SELECT doc_id, bg, count(*) AS c
+  FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 2
+                  THEN list_transform(generate_series(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1])
+                  ELSE CAST([] AS VARCHAR[]) END) AS bg
+    FROM toks
+  ) GROUP BY 1, 2
+),
+bs AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         count(*) AS n_distinct_bigrams
+  FROM bc GROUP BY doc_id
+)
+SELECT ws.doc_id AS doc_id, n_tokens, top_word_cnt,
+  CAST(top_word_cnt AS DOUBLE) / n_tokens AS top_word_fraction,
+  COALESCE(n_bigrams, 0) AS n_bigrams,
+  COALESCE(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+  CASE WHEN COALESCE(n_bigrams, 0) > 0
+       THEN 1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams
+       ELSE 0.0 END AS dup_bigram_fraction
+FROM ws LEFT JOIN bs USING (doc_id)
+"""
+
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination (datapipe/decontaminate.py): 5-gram overlap of every
+    training document against a deterministic eval slice
+    (doc_id % 97 == 0 plays the benchmark set).  The eval grams broadcast;
+    the training side never shuffles its full exploded size."""
+    from lab_flink_repository_analytics_spark.datapipe import decontaminate
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    eval_set = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate.ngram_overlap(train, eval_set, n=5)
+
+
+BENCHMARK_CONTAMINATION_SQL = """
+WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 5
+         THEN list_distinct(list_transform(generate_series(1, len(t) - 4),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                   t[i+3] || ' ' || t[i+4]))
+         ELSE [text] END AS gs
+  FROM toks
+),
+ev AS (SELECT DISTINCT unnest(gs) AS g FROM sh WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, unnest(gs) AS g FROM sh WHERE doc_id % 97 <> 0)
+SELECT tr.doc_id AS doc_id,
+  count(*) AS n_grams,
+  count(ev.g) AS n_contaminated,
+  CAST(count(ev.g) AS DOUBLE) / count(*) AS contamination_ratio
+FROM tr LEFT JOIN ev ON tr.g = ev.g
+GROUP BY tr.doc_id
+"""
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape (TPC-H Q17): revenue from lineitems
+    whose quantity is below 20% of their part's average, per brand.  The
+    correlated subquery is decorrelated by hand into a pre-aggregated
+    self-join on l_partkey (exactly what Catalyst's decorrelation would
+    plan) — the two lineitem branches share one scan via AQE exchange
+    reuse, and the 2k-row part dim is broadcast."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    avg_q = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.expr(f"CAST(l_quantity AS {DEC})")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(avg_q, "l_partkey")
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            (
+                F.sum(F.expr(f"CAST(l_extendedprice AS {DEC})")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = f"""
+SELECT p_brand,
+  CAST(sum(CAST(l_extendedprice AS {DEC})) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+WHERE l1.l_quantity < (
+  SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS {DEC})) AS DOUBLE) / count(*))
+  FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
+)
+GROUP BY p_brand
+"""
+
+
+def sliding_window_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (HOP) windows — Flink's third window kind alongside TUMBLE
+    and SESSION (the reference engine supports HOP even though its
+    documented queries never use it): 1-day windows sliding every 6 hours
+    over the events stream.  Spark expands each row to duration/slide = 4
+    window copies before one partial+final aggregation."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = F.window("ts", "1 day", "6 hours")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum(F.expr(f"CAST(value AS {DEC})")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "events",
+            "total_value",
+        )
+    )
+
+
+SLIDING_WINDOW_SQL = f"""
+WITH e AS (
+  SELECT event_type, value,
+    make_timestamp((epoch_us(ts) // 21600000000 - k) * 21600000000)
+      AS window_start
+  FROM events, unnest([0, 1, 2, 3]) AS u(k)
+)
+SELECT window_start, window_start + INTERVAL 1 DAY AS window_end, event_type,
+  count(*) AS events,
+  CAST(sum(CAST(value AS {DEC})) AS DOUBLE) AS total_value
+FROM e GROUP BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1675,9 +1878,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": customers_without_orders,
         "train_test_split_counts": train_test_split_counts,
         "funnel_set_ops": funnel_set_ops,
-    "subword_token_counts": subword_token_counts,
+        "subword_token_counts": subword_token_counts,
         "winnowing_fingerprints": winnowing_fingerprints,
         "ann_ivf_topk": ann_ivf_topk,
+        "running_customer_revenue": running_customer_revenue,
+        "ngram_repetition": ngram_repetition,
+        "benchmark_contamination": benchmark_contamination,
+        "small_quantity_revenue": small_quantity_revenue,
+        "sliding_window_activity": sliding_window_activity,
     }
 
 
@@ -1732,4 +1940,9 @@ def oracle_sql() -> dict[str, str]:
         "subword_token_counts": SUBWORD_TOKEN_SQL,
         "winnowing_fingerprints": WINNOWING_SQL,
         "ann_ivf_topk": ANN_IVF_SQL,
+        "running_customer_revenue": RUNNING_CUSTOMER_REVENUE_SQL,
+        "ngram_repetition": NGRAM_REPETITION_SQL,
+        "benchmark_contamination": BENCHMARK_CONTAMINATION_SQL,
+        "small_quantity_revenue": SMALL_QUANTITY_REVENUE_SQL,
+        "sliding_window_activity": SLIDING_WINDOW_SQL,
     }

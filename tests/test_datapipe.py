@@ -212,3 +212,48 @@ def test_embedding_near_dup_pairs(spark):
     pairs = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in out}
     assert set(pairs) == {(1, 2)}  # blocking excludes (1,4); threshold drops (1,3)
     assert pairs[(1, 2)] > 0.99
+
+
+def test_repetition_metrics(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z w"), (3, "solo")],
+        "doc_id: int, text: string",
+    )
+    out = {r["doc_id"]: r for r in TX.repetition_metrics_df(df).collect()}
+    # doc 1: 4 tokens, top word 'a'×3; bigrams "a a","a a","a b" → 2 distinct of 3
+    assert out[1]["n_tokens"] == 4 and out[1]["top_word_cnt"] == 3
+    assert out[1]["top_word_fraction"] == 0.75
+    assert out[1]["n_bigrams"] == 3 and out[1]["n_distinct_bigrams"] == 2
+    assert abs(out[1]["dup_bigram_fraction"] - (1.0 - 2.0 / 3.0)) < 1e-12
+    # doc 2: all unique → zero repetition
+    assert out[2]["top_word_fraction"] == 0.25
+    assert out[2]["dup_bigram_fraction"] == 0.0
+    # doc 3: single token → no bigrams, fraction pinned to 0.0
+    assert out[3]["n_bigrams"] == 0 and out[3]["dup_bigram_fraction"] == 0.0
+
+
+def test_ngram_overlap_and_decontaminated_filter(spark):
+    from lab_flink_repository_analytics_spark.datapipe import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # contains eval text
+            (2, "completely unrelated words about spark engines here"),
+            (3, "short"),
+        ],
+        "doc_id: int, text: string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "quick brown fox jumps over")], "doc_id: int, text: string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate.ngram_overlap(train, eval_set, n=5).collect()
+    }
+    # doc 1 shares exactly the eval 5-gram "quick brown fox jumps over"
+    assert out[1]["n_contaminated"] == 1 and out[1]["n_grams"] == 5
+    assert abs(out[1]["contamination_ratio"] - 0.2) < 1e-12
+    assert out[2]["n_contaminated"] == 0
+    assert out[3]["n_contaminated"] == 0  # whole-text gram, no match
+    kept = decontaminate.decontaminated(train, eval_set, n=5).select("doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]

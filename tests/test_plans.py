@@ -117,3 +117,36 @@ def test_pivot_single_aggregation_no_extra_shuffle(spark, sf_dir):
     plan = _plan(suite.event_type_pivot(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "HashAggregate" in plan
+
+
+def test_running_revenue_single_window_exchange(spark, sf_dir):
+    """All three window functions (cumulative sum, row_number, lag) share
+    partitioning+ordering → Catalyst fuses them into ONE Window operator
+    fed by ONE hash exchange on o_custkey."""
+    plan = _plan(suite.running_customer_revenue(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
+
+
+def test_contamination_broadcasts_eval_grams(spark, sf_dir):
+    """The eval set's distinct grams broadcast (benchmarks are small); the
+    100 TB training side is never sort-merge shuffled on the gram key."""
+    plan = _plan(suite.benchmark_contamination(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_small_quantity_revenue_no_nested_loop(spark, sf_dir):
+    """Q17 decorrelated shape: part dim broadcast, correlation handled by
+    an equi-join on l_partkey — no nested-loop anywhere."""
+    plan = _plan(suite.small_quantity_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_sliding_window_expand_single_shuffle(spark, sf_dir):
+    """HOP windows plan as Expand (4 copies/row) below ONE partial+final
+    aggregation — shuffle volume is groups, not the expanded rows."""
+    plan = _plan(suite.sliding_window_activity(spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("Exchange") == 1
