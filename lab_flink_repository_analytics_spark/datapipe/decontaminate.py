@@ -36,7 +36,9 @@ def ngram_overlap(
     ``shingles`` (dedup.py) keeps whole-text as the single gram for docs
     shorter than ``n`` tokens, so short documents are still comparable.
     """
-    train_grams = train.select(
+    from lab_flink_repository_analytics_spark.session import rebalance
+
+    train_grams = rebalance(train).select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("g")
     )
     eval_grams = (

@@ -263,3 +263,39 @@ def lsh_topk(
             F.round("score", 6).alias("cos_sim"),
         )
     )
+
+
+def group_centroids(
+    vectors: DataFrame,
+    group_cols: list[str],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mean-pool vector aggregation: the per-group centroid of an embedding
+    column (class prototypes, per-language anchors, cluster summaries).
+
+    Plan shape for 100 TB: posexplode the vector (row-local, no shuffle),
+    then ONE hash aggregation on (group, dim) with map-side partials —
+    shuffle volume is dims × groups, independent of row count.  Sums run
+    in DECIMAL(30,15) so they are order-independent (exact) across any
+    partitioning; the final per-dim mean is rounded to 6 decimals.  The
+    sorted-struct collect rebuilds the ARRAY<DOUBLE> centroid without a
+    second exchange (same grouping key prefix).
+    """
+    gs = [F.col(g) for g in group_cols]
+    ex = vectors.select(
+        *gs, F.posexplode(F.col(vec_col)).alias("pos", "x")
+    )
+    per_dim = ex.groupBy(*group_cols, "pos").agg(
+        F.round(
+            F.sum(F.col("x").cast("double").cast("decimal(30,15)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per_dim.groupBy(*group_cols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+        ).alias("centroid"),
+        F.max("n").alias("n_vectors"),
+    )

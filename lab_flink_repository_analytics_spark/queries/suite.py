@@ -1826,6 +1826,107 @@ FROM e GROUP BY 1, 2, 3
 """
 
 
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pool vector aggregation (datapipe/similarity.py::group_centroids):
+    the per-label centroid of the embedding column.  Sums run in DECIMAL so
+    they are exact and order-independent across any partitioning."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return SIM.group_centroids(emb, ["label"])
+
+
+LABEL_CENTROIDS_SQL = """
+WITH ex AS (
+  SELECT label, pos, embedding[pos] AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(pos)
+),
+per AS (
+  SELECT label, pos,
+    round(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+          / count(*), 6) AS v,
+    count(*) AS n
+  FROM ex GROUP BY 1, 2
+)
+SELECT label, list(v ORDER BY pos) AS centroid,
+       CAST(max(n) AS BIGINT) AS n_vectors
+FROM per GROUP BY label
+"""
+
+
+def curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-curation pipeline (datapipe/curation.py):
+    quality → repetition → exact-dup keeper → decontamination, first
+    failing rule attributed, counted per (lang, outcome)."""
+    from lab_flink_repository_analytics_spark.datapipe import curation
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    eval_set = docs.filter(F.col("doc_id") % 97 == 0)
+    return curation.curation_summary(docs, eval_set)
+
+
+CURATION_SUMMARY_SQL = """
+WITH toks AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents),
+q AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_ratio
+  FROM toks
+),
+bstat AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb, count(*) AS nd
+  FROM (
+    SELECT doc_id, bg, count(*) AS c
+    FROM (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 2
+                    THEN list_transform(generate_series(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i+1])
+                    ELSE CAST([] AS VARCHAR[]) END) AS bg
+      FROM toks
+    ) GROUP BY 1, 2
+  ) GROUP BY doc_id
+),
+rep AS (
+  SELECT d.doc_id,
+    CASE WHEN COALESCE(nb, 0) > 0
+         THEN 1.0 - CAST(nd AS DOUBLE) / nb ELSE 0.0 END AS dup_bigram_fraction
+  FROM documents d LEFT JOIN bstat ON d.doc_id = bstat.doc_id
+),
+keeper AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 5
+         THEN list_distinct(list_transform(generate_series(1, len(t) - 4),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                   t[i+3] || ' ' || t[i+4]))
+         ELSE [text] END AS gs
+  FROM toks
+),
+ev AS (SELECT DISTINCT unnest(gs) AS g FROM sh WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, unnest(gs) AS g FROM sh WHERE doc_id % 97 <> 0),
+cont AS (
+  SELECT tr.doc_id, CAST(count(ev.g) AS DOUBLE) / count(*) AS contamination_ratio
+  FROM tr LEFT JOIN ev ON tr.g = ev.g
+  GROUP BY tr.doc_id
+),
+labeled AS (
+  SELECT d.lang,
+    CASE WHEN q.n_tokens < 5 OR q.distinct_ratio < 0.3 THEN 'quality'
+         WHEN rep.dup_bigram_fraction > 0.9 THEN 'repetition'
+         WHEN d.doc_id <> keeper.keep_id THEN 'duplicate'
+         WHEN COALESCE(cont.contamination_ratio, 0.0) > 0.2 THEN 'contaminated'
+         ELSE 'kept' END AS outcome
+  FROM documents d
+  JOIN q ON d.doc_id = q.doc_id
+  JOIN rep ON d.doc_id = rep.doc_id
+  JOIN keeper ON d.doc_id = keeper.doc_id
+  LEFT JOIN cont ON d.doc_id = cont.doc_id
+)
+SELECT lang, outcome, count(*) AS n FROM labeled GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1886,6 +1987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_contamination": benchmark_contamination,
         "small_quantity_revenue": small_quantity_revenue,
         "sliding_window_activity": sliding_window_activity,
+        "label_centroids": label_centroids,
+        "curation_summary": curation_summary,
     }
 
 
@@ -1945,4 +2048,6 @@ def oracle_sql() -> dict[str, str]:
         "benchmark_contamination": BENCHMARK_CONTAMINATION_SQL,
         "small_quantity_revenue": SMALL_QUANTITY_REVENUE_SQL,
         "sliding_window_activity": SLIDING_WINDOW_SQL,
+        "label_centroids": LABEL_CENTROIDS_SQL,
+        "curation_summary": CURATION_SUMMARY_SQL,
     }

@@ -257,3 +257,43 @@ def test_ngram_overlap_and_decontaminated_filter(spark):
     assert out[3]["n_contaminated"] == 0  # whole-text gram, no match
     kept = decontaminate.decontaminated(train, eval_set, n=5).select("doc_id")
     assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+
+
+def test_group_centroids_mean_pool(spark):
+    rows = [
+        (1, [1.0, 0.0, 3.0], "a"),
+        (2, [3.0, 2.0, 1.0], "a"),
+        (3, [5.0, 5.0, 5.0], "b"),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id: int, embedding: array<float>, label: string")
+    out = {r["label"]: r for r in SIM.group_centroids(emb, ["label"]).collect()}
+    assert out["a"]["centroid"] == [2.0, 1.0, 2.0]
+    assert out["a"]["n_vectors"] == 2
+    assert out["b"]["centroid"] == [5.0, 5.0, 5.0] and out["b"]["n_vectors"] == 1
+
+
+def test_curation_outcomes_rule_order(spark):
+    from lab_flink_repository_analytics_spark.datapipe import curation
+
+    rows = [
+        (1, "one two three four five six seven eight nine ten", "en"),   # kept
+        (2, "x x x x x x x x x x", "en"),                                # quality (distinct ratio)
+        (3, "one two three four five six seven eight nine ten", "en"),   # duplicate of 1
+        (4, "ten nine eight seven six five four three two one", "en"),   # kept (no shared 5-gram run)
+        (100, "alpha beta gamma delta epsilon zeta eta theta", "en"),    # eval doc → kept
+        (5, "alpha beta gamma delta epsilon zeta eta theta iota", "en"), # contaminated vs 100
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: int, text: string, lang: string")
+    eval_set = docs.filter(F.col("doc_id") == 100)
+    out = {
+        r["doc_id"]: r["outcome"]
+        for r in curation.curation_outcomes(docs, eval_set).collect()
+    }
+    assert out[1] == "kept"
+    assert out[2] == "quality"
+    assert out[3] == "duplicate"
+    assert out[4] == "kept"
+    assert out[100] == "kept"
+    assert out[5] == "contaminated"
+    total = curation.curation_summary(docs, eval_set, "lang")
+    assert sum(r["n"] for r in total.collect()) == len(rows)
