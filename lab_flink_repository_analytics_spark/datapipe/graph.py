@@ -96,26 +96,30 @@ def connected_components(
     labels = labels.localCheckpoint(eager=True)
     bid = bid.localCheckpoint(eager=True)
 
+    def _checksum(df: DataFrame) -> object:
+        # labels only ever decrease under min-propagation, so the label sum
+        # strictly decreases on any change: comparing checksums detects the
+        # fixpoint with one scan of the checkpointed frame instead of a
+        # join-and-count job per round.  DECIMAL(38,0) cannot overflow.
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev = _checksum(labels)
     for _ in range(max_iterations):
         msgs = bid.join(
             labels, bid["a"] == labels["node"]
         ).select(F.col("b").alias("node"), "component")
-        new_labels = (
+        labels = (
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur = _checksum(labels)
+        if cur == prev:
             break
+        prev = cur
     return labels
 
 

@@ -81,6 +81,25 @@ def users_per_window_stream(emails: DataFrame, window: str = "365 days") -> Data
     )
 
 
+def sliding_activity_stream(
+    events: DataFrame, window: str = "1 day", slide: str = "6 hours"
+) -> DataFrame:
+    """Streaming HOP windows: overlapping 1-day/6-hour event-rate rollups.
+    Each row expands to window/slide copies before the stateful agg; a
+    window emits (append mode) once the watermark passes its end."""
+    w = F.window("ts", window, slide)
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "events",
+        )
+    )
+
+
 def session_threads_stream(emails: DataFrame, gap: str = "30 days") -> DataFrame:
     """Streaming session windows over normalized threads (README.md:
     227-236).  HAVING count<2 can only be final in append mode — emitted

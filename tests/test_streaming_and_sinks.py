@@ -577,3 +577,43 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
         (pq.read_table(f, columns=["id"])["id"].to_pylist()) for f in after
     )
     assert spans[0][-1] < spans[1][0]
+
+
+def test_streaming_sliding_windows_emit_on_watermark(spark, tmp_path):
+    # sliding (HOP) windows in streaming append mode: an event at 03:00
+    # lands in the four 1-day/6h windows covering it; all four emit once
+    # the watermark (driven by a far-future row) passes their ends
+    src = str(tmp_path / "events")
+    out = str(tmp_path / "rates")
+    ckpt = str(tmp_path / "ckpt_slide")
+    schema = "ts timestamp, event_type string"
+    rows = [
+        (datetime(2021, 1, 2, 3), "click"),
+        (datetime(2021, 3, 1), "horizon"),  # advances the watermark
+    ]
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+    events = (
+        spark.readStream.schema(schema).parquet(src).withWatermark("ts", "1 hour")
+    )
+    q = (
+        jobs.sliding_activity_stream(events)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(
+            lambda b, _: None
+            if b.isEmpty()
+            else b.write.mode("append").parquet(out)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["window_start"], r["window_end"])
+        for r in spark.read.parquet(out).filter("event_type = 'click'").collect()
+    )
+    assert len(got) == 4  # duration/slide = 4 overlapping windows
+    assert got[0] == (datetime(2021, 1, 1, 6), datetime(2021, 1, 2, 6))
+    assert got[-1] == (datetime(2021, 1, 2, 0), datetime(2021, 1, 3, 0))
+    # every window covers the event instant
+    assert all(s <= datetime(2021, 1, 2, 3) < e for s, e in got)
