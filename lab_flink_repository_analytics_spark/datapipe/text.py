@@ -107,6 +107,39 @@ def lang_scores(text: Column | str) -> Column:
     )
 
 
+#: PII patterns — deliberately lookahead-free and POSIX-class-free so
+#: java.util.regex (Spark) and RE2 (DuckDB oracle) match identically.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+[0-9][0-9 ()-]{6,}[0-9]"
+PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def pii_counts(text: Column | str) -> Column:
+    """STRUCT of per-document PII occurrence counts (emails, phones,
+    IPv4s).  Counted BEFORE redaction; IPs are counted on the
+    email-redacted form so dotted hostnames inside an address aren't
+    double-counted."""
+    t = _c(text)
+    no_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    return F.struct(
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("int").alias("n_phones"),
+        F.regexp_count(no_email, F.lit(PII_IPV4)).cast("int").alias("n_ips"),
+    )
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails / phone numbers / IPv4 addresses with typed
+    placeholder tokens (the standard pre-training scrub).  Pure codegen
+    regexp_replace chain — no Python hop, order matters (emails first so
+    their dotted domains can't be half-eaten by the IP rule)."""
+    t = _c(text)
+    t = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    t = F.regexp_replace(t, PII_PHONE, "<PHONE>")
+    t = F.regexp_replace(t, PII_IPV4, "<IP>")
+    return t
+
+
 def normalize_text(text: Column | str) -> Column:
     """Lowercase, collapse all whitespace runs to single spaces, trim."""
     return F.lower(F.trim(F.regexp_replace(_c(text), r"\s+", " ")))

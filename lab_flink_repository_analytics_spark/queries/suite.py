@@ -1927,6 +1927,161 @@ SELECT lang, outcome, count(*) AS n FROM labeled GROUP BY 1, 2
 """
 
 
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (datapipe/text.py::redact_pii / pii_counts) over
+    deterministic PII-bearing text synthesized from the customer table
+    (emails for everyone, phones for every 3rd key, IPs for every 4th),
+    summarized per market segment.  The whole scrub is a codegen
+    regexp_replace chain — no Python in the hot path."""
+    c = load_tables(spark, sf_dir)["customer"]
+    k = F.col("c_custkey")
+    text = F.concat(
+        F.lit("contact "),
+        F.col("c_name"),
+        F.lit(" at user"),
+        k.cast("string"),
+        F.lit("@corp"),
+        (k % 5).cast("string"),
+        F.lit(".example.com"),
+        F.when(
+            k % 3 == 0,
+            F.concat(F.lit(" or call +1 555 00"), (k % 100).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 4 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (k % 256).cast("string"),
+                F.lit("."),
+                (k % 7).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    red = c.select(
+        "c_mktsegment",
+        TX.pii_counts(text).alias("pc"),
+        TX.redact_pii(text).alias("clean"),
+    )
+    return red.groupBy("c_mktsegment").agg(
+        F.sum("pc.n_emails").alias("emails"),
+        F.sum("pc.n_phones").alias("phones"),
+        F.sum("pc.n_ips").alias("ips"),
+        F.count(F.when(F.col("clean").contains("<EMAIL>"), 1)).alias(
+            "docs_redacted"
+        ),
+    )
+
+
+PII_REDACTION_SQL = r"""
+WITH t AS (
+  SELECT c_mktsegment,
+    'contact ' || c_name || ' at user' || c_custkey || '@corp' ||
+    (c_custkey % 5) || '.example.com' ||
+    (CASE WHEN c_custkey % 3 = 0
+          THEN ' or call +1 555 00' || (c_custkey % 100) ELSE '' END) ||
+    (CASE WHEN c_custkey % 4 = 0
+          THEN ' from 10.0.' || (c_custkey % 256) || '.' || (c_custkey % 7)
+          ELSE '' END) AS text
+  FROM customer
+),
+m AS (
+  SELECT c_mktsegment,
+    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+    len(regexp_extract_all(text, '\+[0-9][0-9 ()-]{6,}[0-9]')) AS n_phones,
+    len(regexp_extract_all(
+        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ips,
+    contains(
+      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '<EMAIL>') AS redacted
+  FROM t
+)
+SELECT c_mktsegment,
+  CAST(sum(n_emails) AS BIGINT) AS emails,
+  CAST(sum(n_phones) AS BIGINT) AS phones,
+  CAST(sum(n_ips) AS BIGINT) AS ips,
+  CAST(sum(CASE WHEN redacted THEN 1 ELSE 0 END) AS BIGINT) AS docs_redacted
+FROM m GROUP BY c_mktsegment
+"""
+
+
+def funnel_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence detection (Flink SQL offers MATCH_RECOGNIZE / CEP for
+    this; the reference never uses it — we express the same ordered
+    view→click→purchase pattern relationally): first view per user, first
+    click strictly after it, first purchase strictly after that, plus a
+    7-day completion bound.  Three shuffles on user_id; AQE reuses the
+    events scan."""
+    ev = load_tables(spark, sf_dir)["events"]
+
+    def first_after(kind: str, prev: DataFrame, prev_ts: str, out_ts: str) -> DataFrame:
+        carry = [c for c in prev.columns if c != "user_id"]
+        return (
+            ev.filter(F.col("event_type") == kind)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(
+                F.min("ts").alias(out_ts),
+                *[F.min(c).alias(c) for c in carry],  # constants per user
+            )
+        )
+
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = first_after("click", views, "t_view", "t_click")
+    purchases = first_after("purchase", clicks, "t_click", "t_purchase")
+    staged = views.join(clicks.select("user_id", "t_click"), "user_id", "left").join(
+        purchases.select(
+            "user_id", "t_purchase", F.col("t_view").alias("t_first_view")
+        ),
+        "user_id",
+        "left",
+    )
+    return staged.agg(
+        F.count("t_view").alias("n_viewers"),
+        F.count("t_click").alias("n_clicked_after_view"),
+        F.count("t_purchase").alias("n_purchased_after_click"),
+        F.count(
+            F.when(
+                F.col("t_purchase")
+                <= F.col("t_first_view") + F.expr("INTERVAL 7 DAYS"),
+                1,
+            )
+        ).alias("n_completed_within_7d"),
+    )
+
+
+FUNNEL_SEQUENCE_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click, min(v.t_view) AS t_view
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase, min(c.t_view) AS t_view
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT count(v.t_view) AS n_viewers,
+  count(c.t_click) AS n_clicked_after_view,
+  count(p.t_purchase) AS n_purchased_after_click,
+  count(CASE WHEN p.t_purchase <= p.t_view + INTERVAL 7 DAY THEN 1 END)
+    AS n_completed_within_7d
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1989,6 +2144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_activity": sliding_window_activity,
         "label_centroids": label_centroids,
         "curation_summary": curation_summary,
+        "pii_redaction": pii_redaction,
+        "funnel_sequence": funnel_sequence,
     }
 
 
@@ -2050,4 +2207,6 @@ def oracle_sql() -> dict[str, str]:
         "sliding_window_activity": SLIDING_WINDOW_SQL,
         "label_centroids": LABEL_CENTROIDS_SQL,
         "curation_summary": CURATION_SUMMARY_SQL,
+        "pii_redaction": PII_REDACTION_SQL,
+        "funnel_sequence": FUNNEL_SEQUENCE_SQL,
     }

@@ -297,3 +297,27 @@ def test_curation_outcomes_rule_order(spark):
     assert out[5] == "contaminated"
     total = curation.curation_summary(docs, eval_set, "lang")
     assert sum(r["n"] for r in total.collect()) == len(rows)
+
+
+def test_pii_redaction_and_counts(spark):
+    rows = [
+        (1, "mail a.b+c@x-y.example.org or b@c.io now"),
+        (2, "call +1 (555) 123-4567 from 192.168.0.1"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "id: int, text: string")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id", TX.redact_pii("text").alias("clean"), TX.pii_counts("text").alias("c")
+        ).select("id", "clean", "c.*").collect()
+    }
+    assert out[1]["clean"] == "mail <EMAIL> or <EMAIL> now"
+    assert out[1]["n_emails"] == 2 and out[1]["n_phones"] == 0 and out[1]["n_ips"] == 0
+    assert out[2]["clean"] == "call <PHONE> from <IP>"
+    assert out[2]["n_phones"] == 1 and out[2]["n_ips"] == 1
+    assert out[3]["clean"] == rows[2][1]
+    # dotted email domains are not double-counted as IPs
+    four = spark.createDataFrame([(4, "x 1.2.3.4@a.bc y")], "id: int, text: string")
+    c = four.select(TX.pii_counts("text").alias("c")).select("c.*").collect()[0]
+    assert c["n_emails"] == 1 and c["n_ips"] == 0
