@@ -49,33 +49,30 @@ def curation_outcomes(
     documents are excluded from the contamination *training* side and can
     only be dropped by the content rules.
     """
-    q = docs.select(
-        F.col(id_col), TX.quality_metrics(text_col).alias("qm")
-    ).select(
-        id_col,
-        F.col("qm.n_tokens").alias("n_tokens"),
-        F.col("qm.distinct_ratio").alias("distinct_ratio"),
-    )
-    rep = TX.repetition_metrics_df(docs, text_col, id_col).select(
-        id_col, "dup_bigram_fraction"
-    )
-    keeper = docs.select(
-        F.col(id_col),
+    # per-row quality metrics ride along in the dedup-election frame: the
+    # window only partitions by content hash, so the projection costs no
+    # extra scan or join (one branch instead of two).
+    base = docs.select(
+        *docs.columns,
+        TX.quality_metrics(text_col).alias("qm"),
         F.min(id_col)
         .over(Window.partitionBy(F.md5(F.col(text_col))))
         .alias("keep_id"),
+    ).select(
+        *docs.columns,
+        F.col("qm.n_tokens").alias("n_tokens"),
+        F.col("qm.distinct_ratio").alias("distinct_ratio"),
+        "keep_id",
+    )
+    rep = TX.repetition_metrics_df(docs, text_col, id_col).select(
+        id_col, "dup_bigram_fraction"
     )
     train = docs.join(eval_set.select(id_col), id_col, "left_anti")
     cont = decontaminate.ngram_overlap(
         train, eval_set, text_col, id_col, ngram
     ).select(id_col, "contamination_ratio")
 
-    joined = (
-        docs.join(q, id_col)
-        .join(rep, id_col)
-        .join(keeper, id_col)
-        .join(cont, id_col, "left")
-    )
+    joined = base.join(rep, id_col).join(cont, id_col, "left")
     outcome = (
         F.when(
             (F.col("n_tokens") < MIN_TOKENS)

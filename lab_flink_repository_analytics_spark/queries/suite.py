@@ -2082,6 +2082,46 @@ FROM v LEFT JOIN c ON v.user_id = c.user_id
 """
 
 
+def word_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (datapipe/sketches.py):
+    depth×width counter grid over the token stream, point-estimated for
+    every distinct word and joined against the exact count.  The grid is
+    ≤ depth×width cells regardless of corpus size — the mergeable
+    fixed-state answer to "how often does each token appear in 100 TB"."""
+    from lab_flink_repository_analytics_spark.datapipe import sketches as SK
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = docs.select(F.explode(F.split("text", " ")).alias("item"))
+    sketch = SK.cms_build(words)
+    est = SK.cms_estimate(sketch, words.distinct())
+    true_counts = words.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    return est.join(true_counts, "item").select(
+        F.col("item").alias("word"), "est", "cnt"
+    )
+
+
+WORD_FREQ_CMS_SQL = """
+WITH ex AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents),
+cells AS (
+  SELECT d, ('0x' || substr(md5(d || ':' || item), 1, 8))::BIGINT % 256 AS bucket,
+         count(*) AS c
+  FROM ex, unnest([0, 1, 2, 3]) AS u(d) GROUP BY 1, 2
+),
+q AS (SELECT DISTINCT item FROM ex),
+probes AS (
+  SELECT item, d,
+         ('0x' || substr(md5(d || ':' || item), 1, 8))::BIGINT % 256 AS bucket
+  FROM q, unnest([0, 1, 2, 3]) AS u(d)
+),
+est AS (
+  SELECT item, min(COALESCE(c, 0)) AS est
+  FROM probes LEFT JOIN cells USING (d, bucket) GROUP BY item
+),
+tru AS (SELECT item, count(*) AS cnt FROM ex GROUP BY item)
+SELECT est.item AS word, est, cnt FROM est JOIN tru ON est.item = tru.item
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2146,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_summary": curation_summary,
         "pii_redaction": pii_redaction,
         "funnel_sequence": funnel_sequence,
+        "word_freq_cms": word_freq_cms,
     }
 
 
@@ -2209,4 +2250,5 @@ def oracle_sql() -> dict[str, str]:
         "curation_summary": CURATION_SUMMARY_SQL,
         "pii_redaction": PII_REDACTION_SQL,
         "funnel_sequence": FUNNEL_SEQUENCE_SQL,
+        "word_freq_cms": WORD_FREQ_CMS_SQL,
     }

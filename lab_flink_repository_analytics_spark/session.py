@@ -114,11 +114,13 @@ def rebalance(df, factor: int = 1):
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
     # only probe partition counts for shuffle-free plans: if the input
-    # already contains an Exchange, the shuffle spreads it across
+    # already contains a SHUFFLE exchange, that spreads it across
     # spark.sql.shuffle.partitions anyway — and touching .rdd on an
-    # AQE plan with exchanges would execute those stages eagerly
+    # AQE plan with exchanges would execute those stages eagerly.
+    # BroadcastExchange does NOT count: a broadcast join keeps the probe
+    # side's partitioning, so a 1-split scan stays on one core.
     plan = df._jdf.queryExecution().executedPlan().toString()
-    if "Exchange" in plan:
+    if "Exchange" in plan.replace("BroadcastExchange", ""):
         return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

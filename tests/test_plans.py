@@ -150,3 +150,34 @@ def test_sliding_window_expand_single_shuffle(spark, sf_dir):
     plan = _plan(suite.sliding_window_activity(spark, sf_dir))
     assert "Expand" in plan
     assert plan.count("Exchange") == 1
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Catalyst's runtime bloom-filter join pruning: with a selective dim
+    filter and a non-broadcast join, the fact side gets a
+    might_contain(bloom) predicate injected below the shuffle — at 100 TB
+    this is the row-level analog of partition pruning.  (Thresholds are
+    lowered because the test tables are tiny; the default 10 GB
+    application-side threshold only fires at real scale.)"""
+    from lab_flink_repository_analytics_spark.session import load_tables
+
+    conf = spark.conf
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t = load_tables(spark, sf_dir)
+        sel = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            t["lineitem"]
+            .join(sel, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert "might_contain" in _plan(j)
+    finally:
+        conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+        conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+        conf.unset("spark.sql.autoBroadcastJoinThreshold")

@@ -55,3 +55,24 @@ def test_sketch_column_is_compact_binary(spark):
     row = daily.limit(1).collect()[0]
     assert isinstance(row["sketch"], (bytes, bytearray))
     assert len(row["sketch"]) < 64 * 1024  # KBs, not MBs: storable per key
+
+
+def test_cms_overestimates_and_merges(spark):
+    from lab_flink_repository_analytics_spark.datapipe import sketches as SK
+    from pyspark.sql import functions as F
+
+    items = spark.createDataFrame(
+        [(w,) for w in ["a"] * 5 + ["b"] * 3 + ["c"] * 2 + ["d"]], "item: string"
+    )
+    full = SK.cms_build(items)
+    qs = items.distinct()
+    est = {r["item"]: r["est"] for r in SK.cms_estimate(full, qs).collect()}
+    true = {r["item"]: r["cnt"] for r in items.groupBy("item").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for w, t in true.items():
+        assert est[w] >= t  # CMS never under-estimates
+    # merging per-half sketches == building over the whole stream
+    h1 = SK.cms_build(items.filter(F.col("item").isin("a", "b")))
+    h2 = SK.cms_build(items.filter(~F.col("item").isin("a", "b")))
+    merged = SK.cms_merge(h1, h2)
+    est_m = {r["item"]: r["est"] for r in SK.cms_estimate(merged, qs).collect()}
+    assert est_m == est
