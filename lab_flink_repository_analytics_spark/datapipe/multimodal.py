@@ -220,3 +220,86 @@ def resize_images(
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=RESIZED_IMAGE
     )
+
+
+AUDIO_SEGMENT_FEATURES = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("seg_start_ms", IntegerType()),
+        StructField("seg_end_ms", IntegerType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def segment_audio(media: DataFrame, window_ms: int = 5000) -> DataFrame:
+    """audio rows → one row per fixed-length segment (ASR-style chunking).
+
+    Pure metadata plan: segment boundaries come from ``duration_ms`` via an
+    exploded sequence, the tail segment is clipped to the duration, and the
+    binary payload is never touched — column pruning drops it from the scan
+    (same shape as :func:`sample_video_frames`).
+    """
+    starts = F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(window_ms))
+    return (
+        media.filter(
+            (F.col("kind") == "audio")
+            & F.col("duration_ms").isNotNull()
+            & (F.col("duration_ms") > 0)
+        )
+        .select("media_id", "duration_ms", F.explode(starts).alias("seg_start_ms"))
+        .select(
+            "media_id",
+            "seg_start_ms",
+            F.least(
+                F.col("seg_start_ms") + F.lit(window_ms), F.col("duration_ms")
+            ).alias("seg_end_ms"),
+        )
+    )
+
+
+def extract_audio_features(
+    media: DataFrame, window_ms: int = 5000, deterministic_fake: bool = True
+) -> DataFrame:
+    """audio rows → per-segment feature vectors (MFCC-shaped) via
+    mapInPandas.
+
+    Decode is STUBBED (needs librosa/ffmpeg, absent here): fake mode
+    derives per-segment vectors from md5(payload ‖ segment index), so the
+    batch shape, schema, and partitioning are the real plumbing a decoder
+    drops into.  Payloads ride into the UDF only because the (stub)
+    decoder needs them — the segment grid itself comes from metadata.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "audio decoding requires librosa/ffmpeg; run with deterministic_fake=True"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [],
+                "seg_start_ms": [],
+                "seg_end_ms": [],
+                "features": [],
+            }
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                if dur is None or dur <= 0:
+                    continue
+                p = payload if payload is not None else b""
+                for i, start in enumerate(range(0, int(dur), window_ms)):
+                    out["media_id"].append(mid)
+                    out["seg_start_ms"].append(start)
+                    out["seg_end_ms"].append(min(start + window_ms, int(dur)))
+                    out["features"].append(
+                        _fake_embedding(p + i.to_bytes(4, "big"))
+                    )
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "payload", "duration_ms")
+        .mapInPandas(batches, schema=AUDIO_SEGMENT_FEATURES)
+    )

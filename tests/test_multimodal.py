@@ -65,3 +65,41 @@ def test_resize_images_shape_and_determinism(spark):
     other = {r["media_id"]: r for r in MM.resize_images(_media(spark), 4, 8).collect()}
     assert other["m1"]["payload"] != out["m1"]["payload"]
 
+
+
+def test_audio_segmentation_grid_and_clipping(spark):
+    rows = [
+        ("a1", "audio", "audio/wav", b"\x01\x02", None, None, 12_500),
+        ("a2", "audio", "audio/wav", b"\x03", None, None, 5_000),
+        ("a3", "audio", "audio/wav", b"", None, None, 0),      # no segments
+        ("v1", "video", "video/mp4", b"\x04", None, None, 9_000),  # wrong kind
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA)
+    segs = sorted(
+        (r["media_id"], r["seg_start_ms"], r["seg_end_ms"])
+        for r in MM.segment_audio(media, window_ms=5000).collect()
+    )
+    assert segs == [
+        ("a1", 0, 5000), ("a1", 5000, 10000), ("a1", 10000, 12500),
+        ("a2", 0, 5000),
+    ]
+
+
+def test_audio_feature_extraction_matches_segment_grid(spark):
+    rows = [
+        ("a1", "audio", "audio/wav", b"\x01\x02", None, None, 12_500),
+        ("a2", "audio", "audio/wav", None, None, None, 5_000),  # null payload ok
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA)
+    feats = MM.extract_audio_features(media, window_ms=5000).collect()
+    grid = {(r["media_id"], r["seg_start_ms"], r["seg_end_ms"]) for r in
+            MM.segment_audio(media, window_ms=5000).collect()}
+    assert {(r["media_id"], r["seg_start_ms"], r["seg_end_ms"]) for r in feats} == grid
+    for r in feats:
+        assert len(r["features"]) == MM.EMBED_DIM
+    # determinism: same payload+segment → same vector, different segment → different
+    by_key = {(r["media_id"], r["seg_start_ms"]): r["features"] for r in feats}
+    assert by_key[("a1", 0)] != by_key[("a1", 5000)]
+    again = {(r["media_id"], r["seg_start_ms"]): r["features"]
+             for r in MM.extract_audio_features(media, window_ms=5000).collect()}
+    assert again == by_key

@@ -181,3 +181,14 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
         conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
         conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
         conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_audio_segmentation_prunes_payload(spark, tmp_path):
+    rows = [("a1", "audio", "audio/wav", bytearray(b"x"), None, None, 9000)]
+    path = str(tmp_path / "audio_media")
+    spark.createDataFrame(rows, MM.MEDIA).write.parquet(path)
+    df = MM.segment_audio(spark.read.parquet(path))
+    plan = _formatted(df, spark)
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "payload" not in read  # metadata-only plan: binary never scanned
+    assert "duration_ms" in read
