@@ -69,3 +69,22 @@ def stratified_sample(
     shuffle; strata absent from ``fractions`` are dropped (rate 0) — the
     quota-rebalancing primitive (e.g. cap dominant languages)."""
     return df.sampleBy(stratum_col, dict(fractions), seed=seed)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column | str,
+) -> DataFrame:
+    """Keep each row with probability = its weight in [0, 1], decided by
+    the same stable id-hash as :func:`deterministic_split` — the
+    quality-weighted data-mixing primitive (keep high-quality documents
+    with higher probability, reproducibly).
+
+    Membership is a pure function of (id, weight): re-runs, engines, and
+    re-shards agree; weights ≥ 1 always keep, ≤ 0 always drop.  One scan,
+    no shuffle, no RNG state.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    keep = split_bucket(id_col) < (w * F.lit(SPLIT_BUCKETS))
+    return df.filter(keep)

@@ -2122,6 +2122,47 @@ SELECT est.item AS word, est, cnt FROM est JOIN tru ON est.item = tru.item
 """
 
 
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted data mixing (datapipe/sampling.py::weighted_sample):
+    each document is kept with probability equal to its type-token ratio,
+    decided by the stable id-hash — reproducible across engines/re-shards.
+    Output: per-language totals vs kept counts."""
+    from lab_flink_repository_analytics_spark.datapipe import sampling
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    scored = docs.select(
+        "doc_id", "lang", TX.quality_metrics("text").alias("q")
+    ).select("doc_id", "lang", F.col("q.distinct_ratio").alias("w"))
+    kept = (
+        sampling.weighted_sample(scored, "doc_id", "w")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    total = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    return total.join(kept, "lang", "left").select(
+        "lang", "n_total", F.coalesce("n_kept", F.lit(0)).alias("n_kept")
+    )
+
+
+QUALITY_WEIGHTED_SAMPLE_SQL = """
+WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS w
+  FROM toks
+),
+k AS (
+  SELECT lang, count(*) AS n_kept FROM s
+  WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000)
+        < w * 10000
+  GROUP BY lang
+),
+tot AS (SELECT lang, count(*) AS n_total FROM s GROUP BY lang)
+SELECT tot.lang AS lang, n_total, COALESCE(n_kept, 0) AS n_kept
+FROM tot LEFT JOIN k ON tot.lang = k.lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2187,6 +2228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": pii_redaction,
         "funnel_sequence": funnel_sequence,
         "word_freq_cms": word_freq_cms,
+        "quality_weighted_sample": quality_weighted_sample,
     }
 
 
@@ -2251,4 +2293,5 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction": PII_REDACTION_SQL,
         "funnel_sequence": FUNNEL_SEQUENCE_SQL,
         "word_freq_cms": WORD_FREQ_CMS_SQL,
+        "quality_weighted_sample": QUALITY_WEIGHTED_SAMPLE_SQL,
     }

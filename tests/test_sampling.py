@@ -62,3 +62,25 @@ def test_stratified_sample_rates_and_dropped_strata(spark):
     # seeded: repeatable
     again = sampling.stratified_sample(df, "lang", {"en": 0.1})
     assert again.count() == out.count()
+
+
+def test_weighted_sample_bounds_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, F.lit(1.0))
+        .when(F.col("id") % 3 == 1, F.lit(0.0))
+        .otherwise(F.lit(0.5))
+        .alias("w"),
+    )
+    kept = sampling.weighted_sample(df, "doc_id", "w")
+    got = {r["doc_id"] for r in kept.collect()}
+    # weight 1.0 always kept, weight 0.0 never
+    assert all(i in got for i in range(0, 2000, 3))
+    assert all(i not in got for i in range(1, 2000, 3))
+    half = [i for i in range(2, 2000, 3)]
+    frac = sum(1 for i in half if i in got) / len(half)
+    assert 0.4 < frac < 0.6  # hash buckets ≈ Bernoulli(0.5)
+    # determinism: re-evaluation returns the identical membership
+    assert {r["doc_id"] for r in kept.collect()} == got
