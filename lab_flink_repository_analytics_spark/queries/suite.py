@@ -2163,6 +2163,67 @@ FROM tot LEFT JOIN k ON tot.lang = k.lang
 """
 
 
+def click_purchase_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (completing the join-type surface — §2.E notes the
+    reference has no two-table joins at all): per-user click totals vs
+    purchase totals, keeping users who only ever did one of the two, with
+    a match-status tag.  One shuffle per side on user_id; the join reuses
+    that partitioning."""
+    ev = load_tables(spark, sf_dir)["events"]
+
+    def totals(kind: str, alias: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == kind)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{alias}"),
+                F.sum(F.expr(f"CAST(value AS {DEC})"))
+                .cast("double")
+                .alias(f"{alias}_value"),
+            )
+        )
+
+    c = totals("click", "clicks")
+    p = totals("purchase", "purchases")
+    joined = c.join(p, "user_id", "full_outer")
+    status = (
+        F.when(F.col("n_clicks").isNull(), F.lit("purchase_only"))
+        .when(F.col("n_purchases").isNull(), F.lit("click_only"))
+        .otherwise(F.lit("both"))
+    )
+    return joined.select(
+        "user_id",
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.coalesce("clicks_value", F.lit(0.0)).alias("clicks_value"),
+        F.coalesce("purchases_value", F.lit(0.0)).alias("purchases_value"),
+        status.alias("status"),
+    )
+
+
+CLICK_PURCHASE_RECONCILIATION_SQL = f"""
+WITH c AS (
+  SELECT user_id, count(*) AS n_clicks,
+         CAST(sum(CAST(value AS {DEC})) AS DOUBLE) AS clicks_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+p AS (
+  SELECT user_id, count(*) AS n_purchases,
+         CAST(sum(CAST(value AS {DEC})) AS DOUBLE) AS purchases_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+  COALESCE(n_clicks, 0) AS n_clicks,
+  COALESCE(n_purchases, 0) AS n_purchases,
+  COALESCE(clicks_value, 0.0) AS clicks_value,
+  COALESCE(purchases_value, 0.0) AS purchases_value,
+  CASE WHEN c.user_id IS NULL THEN 'purchase_only'
+       WHEN p.user_id IS NULL THEN 'click_only'
+       ELSE 'both' END AS status
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2229,6 +2290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_sequence": funnel_sequence,
         "word_freq_cms": word_freq_cms,
         "quality_weighted_sample": quality_weighted_sample,
+        "click_purchase_reconciliation": click_purchase_reconciliation,
     }
 
 
@@ -2294,4 +2356,5 @@ def oracle_sql() -> dict[str, str]:
         "funnel_sequence": FUNNEL_SEQUENCE_SQL,
         "word_freq_cms": WORD_FREQ_CMS_SQL,
         "quality_weighted_sample": QUALITY_WEIGHTED_SAMPLE_SQL,
+        "click_purchase_reconciliation": CLICK_PURCHASE_RECONCILIATION_SQL,
     }

@@ -192,3 +192,23 @@ def test_audio_segmentation_prunes_payload(spark, tmp_path):
     read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "payload" not in read  # metadata-only plan: binary never scanned
     assert "duration_ms" in read
+
+
+def test_partition_pruning_on_month_partitioned_layout(spark, tmp_path):
+    """The ingest layout contract: month-partitioned parquet + an equality
+    filter on the partition column prunes at planning time — the scan
+    touches one directory, not the dataset (at 100 TB this is the
+    difference between reading a month and reading a decade)."""
+    path = str(tmp_path / "bymonth")
+    df = spark.createDataFrame(
+        [("2021-01", 1), ("2021-01", 2), ("2021-02", 3), ("2021-03", 4)],
+        "month: string, v: int",
+    )
+    df.write.partitionBy("month").parquet(path)
+    q = spark.read.parquet(path).filter(F.col("month") == "2021-02")
+    plan = _formatted(q, spark)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "month" in pf  # filter applied at the partition level
+    # only one of the three month directories survives planning
+    assert q.rdd.getNumPartitions() <= 2
+    assert [r["v"] for r in q.collect()] == [3]
