@@ -220,18 +220,10 @@ def repetition_metrics_df(
 
     t = F.col(text_col)
     toks = tokens(t)
-    n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, (i + 1).cast("int")),
-                F.element_at(toks, (i + 2).cast("int")),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # ordered bigrams WITH duplicates via lookahead-capture regex — each
+    # space anchors one overlapping window; stays in codegen (the
+    # interpreted transform(sequence(...)) lambda form is ~3× slower)
+    bigrams = F.regexp_extract_all(t, F.lit("(?:^| )(?=([^ ]+ [^ ]+))"), 1)
 
     base = rebalance(docs)
     words = base.select(F.col(id_col).alias("id"), F.explode(toks).alias("word"))
@@ -292,15 +284,12 @@ def winnow_fingerprints_df(
     from pyspark.sql import Window
 
     t = F.col(text_col)
-    toks = tokens(t)
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
-        ),
-    )
-    g = F.when(n >= k, grams).otherwise(F.array(t))
+    # ordered, duplicate-preserving k-shingles via lookahead-capture regex
+    # (codegen; see dedup.shingles) — winnowing needs positional order, so
+    # no array_distinct here; tiny docs contribute the whole text
+    pat = "(?:^| )(?=(" + " ".join(["[^ ]+"] * k) + "))"
+    grams = F.regexp_extract_all(t, F.lit(pat), 1)
+    g = F.when(F.size(grams) > 0, grams).otherwise(F.array(t))
     ex = (
         rebalance(docs)
         .select(F.col(id_col).alias("id"), F.posexplode(g).alias("pos", "gram"))
