@@ -306,3 +306,44 @@ def winnow_fingerprints_df(
     return wins.groupBy("id").agg(
         F.array_sort(F.collect_set("m")).alias("fps")
     ).select(F.col("id").alias(id_col), "fps")
+
+
+def chunk_documents(
+    docs,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Fixed-window document chunking with overlap (the context-window
+    prep step of every LLM training pipeline): token windows of
+    ``chunk_tokens`` starting every ``chunk_tokens - overlap`` tokens,
+    tail chunks clipped.
+
+    Row-local plan: the start grid is a generated sequence over token
+    count, the chunk text a slice+join per start — work is proportional
+    to output chunks, no shuffle at all (chunking pipelines straight over
+    the scan at 100 TB).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    ex = docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        n.alias("_n"),
+        F.explode(starts).alias("_start"),
+    )
+    return ex.select(
+        id_col,
+        (F.col("_start") / step).cast("int").alias("chunk_index"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_start")).alias(
+            "n_chunk_tokens"
+        ),
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens), " "
+        ).alias("chunk"),
+    )

@@ -2224,6 +2224,74 @@ FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
 """
 
 
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (datapipe/text.py::chunk_documents): 64-token
+    windows every 56 tokens (8-token overlap), tail clipped.  Row-local —
+    no shuffle; work is proportional to emitted chunks."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TX.chunk_documents(docs, chunk_tokens=64, overlap=8)
+
+
+DOC_CHUNKS_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+ex AS (
+  SELECT doc_id, t, len(t) AS n, unnest(generate_series(0, len(t) - 1, 56)) AS s
+  FROM toks
+)
+SELECT doc_id,
+  CAST(s / 56 AS INT) AS chunk_index,
+  CAST(least(64, n - s) AS INT) AS n_chunk_tokens,
+  array_to_string(t[s + 1 : s + 64], ' ') AS chunk
+FROM ex
+"""
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate documents (per language shard, in
+    doc_id order) and cut every 256 tokens — each doc's bin is
+    floor(exclusive-cumulative-token-offset / 256), the deterministic
+    concat-then-split packing every trainer uses.  One window cumsum per
+    shard; per-bin rollup reuses the same partitioning."""
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sized = docs.select(
+        "doc_id", "lang", TX.token_count("text").alias("n_tokens")
+    ).withColumn("offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    binned = sized.withColumn(
+        "bin", F.floor(F.col("offset") / F.lit(256)).cast("bigint")
+    )
+    return binned.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+SEQUENCE_PACKING_SQL = """
+WITH sized AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+off AS (
+  SELECT doc_id, lang, n_tokens,
+    COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM sized
+)
+SELECT lang, CAST(floor(o / 256) AS BIGINT) AS bin,
+  count(*) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM off GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2291,6 +2359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_freq_cms": word_freq_cms,
         "quality_weighted_sample": quality_weighted_sample,
         "click_purchase_reconciliation": click_purchase_reconciliation,
+        "doc_chunks": doc_chunks,
+        "sequence_packing": sequence_packing,
     }
 
 
@@ -2357,4 +2427,6 @@ def oracle_sql() -> dict[str, str]:
         "word_freq_cms": WORD_FREQ_CMS_SQL,
         "quality_weighted_sample": QUALITY_WEIGHTED_SAMPLE_SQL,
         "click_purchase_reconciliation": CLICK_PURCHASE_RECONCILIATION_SQL,
+        "doc_chunks": DOC_CHUNKS_SQL,
+        "sequence_packing": SEQUENCE_PACKING_SQL,
     }

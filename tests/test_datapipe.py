@@ -321,3 +321,22 @@ def test_pii_redaction_and_counts(spark):
     four = spark.createDataFrame([(4, "x 1.2.3.4@a.bc y")], "id: int, text: string")
     c = four.select(TX.pii_counts("text").alias("c")).select("c.*").collect()[0]
     assert c["n_emails"] == 1 and c["n_ips"] == 0
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "a b")], "doc_id: int, text: string")
+    out = sorted(
+        (r["doc_id"], r["chunk_index"], r["n_chunk_tokens"], r["chunk"])
+        for r in TX.chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    )
+    # doc 1: starts 0,3,6,9 → windows of 4 tokens, 1-token overlap, tail clipped
+    assert out == [
+        (1, 0, 4, "w0 w1 w2 w3"),
+        (1, 1, 4, "w3 w4 w5 w6"),
+        (1, 2, 4, "w6 w7 w8 w9"),
+        (1, 3, 1, "w9"),
+        (2, 0, 2, "a b"),
+    ]
+    # consecutive chunks share exactly `overlap` tokens
+    assert out[0][3].split()[-1:] == out[1][3].split()[:1]
