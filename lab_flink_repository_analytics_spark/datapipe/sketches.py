@@ -132,3 +132,79 @@ def cms_estimate(sketch: DataFrame, queries: DataFrame, col: str = "item") -> Da
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram quantiles: the simplest mergeable quantile sketch.
+# Bin counts sum across shards/periods (unlike exact percentiles, which
+# need the raw data every time); estimates are deterministic (bin upper
+# edge), so a DuckDB oracle reproduces them bit-exactly.  Error is bounded
+# by the bin width — the classic trade against t-digest/KLL, which buy
+# adaptive precision at the cost of engine-specific binaries.
+
+HIST_BINS = 128
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str],
+    lo: float,
+    hi: float,
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """(keys…, bin, c) counter rows; values outside [lo, hi) clamp into
+    the edge bins.  One hash aggregation; at most |keys|×bins rows out."""
+    v = F.col(value_col)
+    raw = F.floor((v - F.lit(lo)) / F.lit(hi - lo) * F.lit(bins))
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+    return df.groupBy(*keys, bin_.alias("bin")).agg(F.count(F.lit(1)).alias("c"))
+
+
+def merge_histograms(*hists: DataFrame) -> DataFrame:
+    """Sum counter rows — per-shard/per-period histograms roll up without
+    re-scanning raw data."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    keys = [c for c in out.columns if c not in ("c",)]
+    return out.groupBy(*keys).agg(F.sum("c").alias("c"))
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    keys: Sequence[str],
+    qs: Sequence[float],
+    lo: float,
+    hi: float,
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """Quantile estimates from a histogram: for each q, the upper edge of
+    the first bin whose cumulative count reaches q×total.  One window
+    cumsum per key; the final reduction reuses its partitioning."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(*keys)
+    cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "total", F.sum("c").over(wt)
+    )
+    step = (hi - lo) / bins
+    aggs = [
+        (
+            F.lit(lo)
+            + (
+                F.min(
+                    F.when(F.col("cum") >= F.lit(q) * F.col("total"), F.col("bin"))
+                )
+                + 1
+            )
+            * F.lit(step)
+        ).alias(f"p{int(q * 100)}_est")
+        for q in qs
+    ]
+    return cum.groupBy(*keys).agg(*aggs)

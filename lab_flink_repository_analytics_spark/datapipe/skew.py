@@ -107,3 +107,35 @@ def salted_count_distinct(
         F.count_distinct(F.col(distinct_col)).alias("__pd")
     )
     return per_bucket.groupBy(*keys).agg(F.sum("__pd").alias(alias))
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the (possibly hot-keyed) fact side and
+    replicate the dim side ``salt_buckets``× so each hot key's rows spread
+    over ``salt_buckets`` reducers instead of one straggler task.
+
+    Result is row-identical to ``facts.join(dim, fact_key == dim_key,
+    how)`` — the salt only changes the partitioning.  Use when the dim is
+    too big to broadcast but small enough to replicate S×; AQE's skew-join
+    splitting is the config-only alternative when it fires (it needs
+    sort-merge join + statistics), this form is deterministic by
+    construction.  ``how`` supports inner / left.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner or left joins")
+    salted = with_salt(facts, salt_buckets)
+    replicated = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(s) for s in range(salt_buckets)]))
+    )
+    cond = (F.col(fact_key) == F.col(dim_key)) & (
+        salted["__salt"] == replicated["__salt"]
+    )
+    out = salted.join(replicated, cond, how)
+    return out.drop(salted["__salt"]).drop(replicated["__salt"])

@@ -2292,6 +2292,72 @@ FROM off GROUP BY 1, 2
 """
 
 
+def salted_user_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe join (datapipe/skew.py::salted_join): purchases joined to
+    the customer dim through an 8-way salt fan-out (hot users spread over
+    8 reducers; dim replicated 8×), rolled up per market segment.  Row-
+    identical to the plain join — the oracle IS the plain join."""
+    from lab_flink_repository_analytics_spark.datapipe import skew
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("event_type") == "purchase")
+    cust = t["customer"].select("c_custkey", "c_mktsegment")
+    j = skew.salted_join(ev, cust, "user_id", "c_custkey", salt_buckets=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("purchases"),
+        F.sum(F.expr(f"CAST(value AS {DEC})")).cast("double").alias("total_value"),
+    )
+
+
+SALTED_USER_PURCHASES_SQL = f"""
+SELECT c_mktsegment, count(*) AS purchases,
+  CAST(sum(CAST(value AS {DEC})) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+WHERE event_type = 'purchase'
+GROUP BY c_mktsegment
+"""
+
+
+def value_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile estimation (datapipe/sketches.py histogram
+    family): p50/p90/p99 of event value per event_type from a 128-bin
+    fixed histogram over [0, 600) — bin counts merge across shards/periods
+    unlike exact percentiles."""
+    from lab_flink_repository_analytics_spark.datapipe import sketches as SK
+
+    ev = load_tables(spark, sf_dir)["events"]
+    hist = SK.value_histogram(ev, "value", ["event_type"], 0.0, 600.0)
+    return SK.histogram_quantiles(
+        hist, ["event_type"], [0.5, 0.9, 0.99], 0.0, 600.0
+    )
+
+
+VALUE_QUANTILE_HIST_SQL = """
+WITH h AS (
+  SELECT event_type,
+         least(greatest(CAST(floor((value - 0.0) / 600.0 * 128) AS BIGINT), 0), 127)
+           AS bin,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin, c,
+    sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(c) OVER (PARTITION BY event_type) AS total
+  FROM h
+)
+SELECT event_type,
+  0.0 + (min(CASE WHEN cum >= 0.5 * total THEN bin END) + 1) * (600.0 / 128)
+    AS p50_est,
+  0.0 + (min(CASE WHEN cum >= 0.9 * total THEN bin END) + 1) * (600.0 / 128)
+    AS p90_est,
+  0.0 + (min(CASE WHEN cum >= 0.99 * total THEN bin END) + 1) * (600.0 / 128)
+    AS p99_est
+FROM cum GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2361,6 +2427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_purchase_reconciliation": click_purchase_reconciliation,
         "doc_chunks": doc_chunks,
         "sequence_packing": sequence_packing,
+        "salted_user_purchases": salted_user_purchases,
+        "value_quantile_hist": value_quantile_hist,
     }
 
 
@@ -2429,4 +2497,6 @@ def oracle_sql() -> dict[str, str]:
         "click_purchase_reconciliation": CLICK_PURCHASE_RECONCILIATION_SQL,
         "doc_chunks": DOC_CHUNKS_SQL,
         "sequence_packing": SEQUENCE_PACKING_SQL,
+        "salted_user_purchases": SALTED_USER_PURCHASES_SQL,
+        "value_quantile_hist": VALUE_QUANTILE_HIST_SQL,
     }

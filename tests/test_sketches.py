@@ -76,3 +76,28 @@ def test_cms_overestimates_and_merges(spark):
     merged = SK.cms_merge(h1, h2)
     est_m = {r["item"]: r["est"] for r in SK.cms_estimate(merged, qs).collect()}
     assert est_m == est
+
+
+def test_histogram_quantiles_merge_and_accuracy(spark):
+    from lab_flink_repository_analytics_spark.datapipe import sketches as SK
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(
+        F.lit("k").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    hist = SK.value_histogram(df, "v", ["g"], 0.0, 1000.0, bins=100)
+    est = SK.histogram_quantiles(hist, ["g"], [0.5, 0.9], 0.0, 1000.0, bins=100).collect()[0]
+    # uniform 0..999 → true p50=499.5, p90=899.1; bin width 10 bounds error
+    assert abs(est["p50_est"] - 500.0) <= 10.0
+    assert abs(est["p90_est"] - 900.0) <= 10.0
+    # merging two half-histograms == histogram of the whole stream
+    h1 = SK.value_histogram(df.filter("v < 500"), "v", ["g"], 0.0, 1000.0, bins=100)
+    h2 = SK.value_histogram(df.filter("v >= 500"), "v", ["g"], 0.0, 1000.0, bins=100)
+    merged = SK.merge_histograms(h1, h2)
+    est_m = SK.histogram_quantiles(merged, ["g"], [0.5, 0.9], 0.0, 1000.0, bins=100).collect()[0]
+    assert est_m["p50_est"] == est["p50_est"] and est_m["p90_est"] == est["p90_est"]
+    # out-of-range values clamp into edge bins instead of vanishing
+    oob = spark.createDataFrame([("k", -5.0), ("k", 5000.0)], "g: string, v: double")
+    hb = SK.value_histogram(oob, "v", ["g"], 0.0, 1000.0, bins=100)
+    bins = sorted(r["bin"] for r in hb.collect())
+    assert bins == [0, 99]

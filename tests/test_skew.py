@@ -76,3 +76,28 @@ def test_salt_is_content_stable(spark):
     assert sorted((r["__salt"], r["count"]) for r in a) == sorted(
         (r["__salt"], r["count"]) for r in b
     )
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    # hot key 7 carries most of the fact rows
+    facts = spark.createDataFrame(
+        [(7, i) for i in range(500)] + [(k, k) for k in range(20)],
+        "k: int, v: int",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 20, 2)] + [(7, "hot")], "dk: int, name: string"
+    )
+    plain = facts.join(dim, facts["k"] == dim["dk"]).select("k", "v", "name")
+    salted = skew.salted_join(facts, dim, "k", "dk").select("k", "v", "name")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # left join keeps unmatched fact rows exactly once
+    plain_l = facts.join(dim, facts["k"] == dim["dk"], "left").select("k", "v", "name")
+    salted_l = skew.salted_join(facts, dim, "k", "dk", how="left").select("k", "v", "name")
+    assert sorted(map(tuple, salted_l.collect()), key=repr) == sorted(
+        map(tuple, plain_l.collect()), key=repr
+    )
+    # the replicated-dim side really fans the hot key over salt buckets
+    ex = skew.with_salt(facts, 8)
+    assert ex.filter("k = 7").select("__salt").distinct().count() > 1
