@@ -171,3 +171,36 @@ def compact_parquet(
         jpath,
     )
     return n_files
+
+
+def zorder_value(*cols, bits: int = 16):
+    """Z-order (Morton) curve value: interleave the top ``bits`` of each
+    column's rank-space so sorting by ONE value clusters on ALL dims —
+    per-file min/max stay selective for every interleaved column, which is
+    what makes multi-predicate row-group skipping work (Delta/Iceberg's
+    OPTIMIZE ZORDER BY, as a plain codegen expression).
+
+    Columns must already be non-negative integers in [0, 2^bits) — map
+    real domains first (e.g. ``F.floor(value / step)``, day numbers,
+    dictionary codes).  Pure bit arithmetic: shiftleft/|, no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n == 0:
+        raise ValueError("zorder_value needs at least one column")
+    parts = []
+    for ci, c in enumerate(cols):
+        col = F.col(c) if isinstance(c, str) else c
+        col = col.cast("bigint")
+        for b in range(bits):
+            # bit b of column ci lands at interleaved position b*n + ci
+            parts.append(
+                F.shiftleft(
+                    F.shiftright(col, b).bitwiseAND(F.lit(1)), b * n + ci
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.bitwiseOR(p)
+    return out

@@ -2358,6 +2358,64 @@ FROM cum GROUP BY event_type
 """
 
 
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection (median + MAD, the data-cleaning standard
+    immune to the outliers it hunts): per event_type, values farther than
+    3×1.4826×MAD from the median are flagged; output is count + share.
+    Two exact-percentile passes over one scan; both medians broadcast back
+    onto the rows."""
+    ev = load_tables(spark, sf_dir)["events"]
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = (
+        with_med.select("event_type", F.abs(F.col("value") - F.col("med")).alias("dev"))
+        .groupBy("event_type")
+        .agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    )
+    flagged = with_med.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        (
+            F.abs(F.col("value") - F.col("med"))
+            > F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+        ).alias("is_outlier"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)).alias("n_outliers"),
+        (
+            F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("outlier_share"),
+    )
+
+
+VALUE_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+),
+mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m ON e.event_type = m.event_type
+  GROUP BY 1
+),
+flagged AS (
+  SELECT e.event_type,
+         abs(e.value - m.med) > 3.0 * 1.4826 * d.mad AS is_outlier
+  FROM events e
+  JOIN med m ON e.event_type = m.event_type
+  JOIN mad d ON e.event_type = d.event_type
+)
+SELECT event_type, count(*) AS n,
+  CAST(sum(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+  CAST(sum(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+    AS outlier_share
+FROM flagged GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2429,6 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": sequence_packing,
         "salted_user_purchases": salted_user_purchases,
         "value_quantile_hist": value_quantile_hist,
+        "value_outliers": value_outliers,
     }
 
 
@@ -2499,4 +2558,5 @@ def oracle_sql() -> dict[str, str]:
         "sequence_packing": SEQUENCE_PACKING_SQL,
         "salted_user_purchases": SALTED_USER_PURCHASES_SQL,
         "value_quantile_hist": VALUE_QUANTILE_HIST_SQL,
+        "value_outliers": VALUE_OUTLIERS_SQL,
     }

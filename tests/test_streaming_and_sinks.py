@@ -617,3 +617,39 @@ def test_streaming_sliding_windows_emit_on_watermark(spark, tmp_path):
     assert got[-1] == (datetime(2021, 1, 2, 0), datetime(2021, 1, 3, 0))
     # every window covers the event instant
     assert all(s <= datetime(2021, 1, 2, 3) < e for s, e in got)
+
+
+def test_zorder_clusters_both_dimensions(spark, tmp_path):
+    # 32×32 grid of (x, y): sorting by z-value then splitting into files
+    # bounds BOTH x and y spans per file; sorting by x alone leaves y
+    # spanning the whole domain in every file
+    from pyspark.sql import functions as F
+
+    grid = (
+        spark.range(32 * 32)
+        .select((F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y"))
+    )
+    z = grid.withColumn("z", sinks.zorder_value("x", "y", bits=5))
+    # z-value is a bijection on the grid (no collisions)
+    assert z.select("z").distinct().count() == 32 * 32
+    n_files = 16
+    zsorted = z.repartitionByRange(n_files, "z").sortWithinPartitions("z")
+    spans = (
+        zsorted.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("x") - F.min("x")).alias("xs"),
+            (F.max("y") - F.min("y")).alias("ys"),
+        )
+        .collect()
+    )
+    # every file's bounding box is a fraction of the 31-wide domain on BOTH dims
+    assert all(r["xs"] <= 16 and r["ys"] <= 16 for r in spans)
+    xsorted = grid.repartitionByRange(n_files, "x").sortWithinPartitions("x")
+    xspans = (
+        xsorted.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg((F.max("y") - F.min("y")).alias("ys"))
+        .collect()
+    )
+    assert all(r["ys"] == 31 for r in xspans)  # x-sort leaves y unclustered
