@@ -2416,6 +2416,37 @@ FROM flagged GROUP BY event_type
 """
 
 
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (non-hierarchical combos — rollup's general
+    form), exercised through the ``spark.sql`` surface over the registered
+    views: totals by priority, by status, and grand total in ONE pass —
+    Catalyst plans a single Expand + one aggregation, not three scans.
+    ``grouping()`` flags disambiguate real NULLs from subtotal rows."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, o_orderstatus,
+               grouping(o_orderpriority) AS g_priority,
+               grouping(o_orderstatus) AS g_status,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+GROUPING_SETS_ORDERS_SQL = f"""
+SELECT o_orderpriority, o_orderstatus,
+       grouping(o_orderpriority) AS g_priority,
+       grouping(o_orderstatus) AS g_status,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2488,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_user_purchases": salted_user_purchases,
         "value_quantile_hist": value_quantile_hist,
         "value_outliers": value_outliers,
+        "grouping_sets_orders": grouping_sets_orders,
     }
 
 
@@ -2559,4 +2591,5 @@ def oracle_sql() -> dict[str, str]:
         "salted_user_purchases": SALTED_USER_PURCHASES_SQL,
         "value_quantile_hist": VALUE_QUANTILE_HIST_SQL,
         "value_outliers": VALUE_OUTLIERS_SQL,
+        "grouping_sets_orders": GROUPING_SETS_ORDERS_SQL,
     }
