@@ -186,3 +186,49 @@ def clicks_before_errors_stream(
     ).select(
         F.col("e_user").alias("user_id"), "error_id", "e_ts", "click_id", "c_ts"
     )
+
+
+def value_histogram_stream(
+    events: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    keys: list[str] | None = None,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 600.0,
+    bins: int = 128,
+    available_now: bool = True,
+):
+    """Incremental sketch maintenance: every micro-batch's value histogram
+    merges into a persistent counter store — quantile estimates over the
+    full history are always one read away, without ever re-scanning raw
+    events (the streaming face of ``datapipe.sketches``' mergeability:
+    per-batch grids sum, exactly like per-period rollups).
+
+    The store stays ≤ |keys|×bins rows no matter how much data streams
+    through.  Checkpoint + overwrite-swap keeps the update idempotent per
+    batch on restart."""
+    from lab_flink_repository_analytics_spark.datapipe import sketches as SK
+    from lab_flink_repository_analytics_spark.io import sinks
+
+    keys = keys or ["event_type"]
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        h = SK.value_histogram(batch_df, value_col, keys, lo, hi, bins)
+        if sinks._exists(spark, store_path):
+            existing = spark.read.parquet(store_path)
+            h = SK.merge_histograms(existing, h)
+        tmp = store_path.rstrip("/") + "._tmp"
+        h.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(store_path)
+        sinks._rm(spark, tmp)
+
+    writer = (
+        events.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_merge)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -653,3 +653,35 @@ def test_zorder_clusters_both_dimensions(spark, tmp_path):
         .collect()
     )
     assert all(r["ys"] == 31 for r in xspans)  # x-sort leaves y unclustered
+
+
+def test_streaming_histogram_store_matches_batch(spark, tmp_path):
+    # two micro-batches merged incrementally == one batch histogram of all
+    # rows; the store never exceeds keys×bins rows
+    from lab_flink_repository_analytics_spark.datapipe import sketches as SK
+
+    src = str(tmp_path / "vals")
+    store = str(tmp_path / "hist_store")
+    rows1 = [("a", float(v)) for v in range(0, 50)]
+    rows2 = [("a", float(v)) for v in range(50, 100)] + [("b", 10.0)]
+    schema = "event_type string, value double"
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = jobs.value_histogram_stream(
+            stream, store, str(tmp_path / "ckpt_hist"), lo=0.0, hi=100.0, bins=10
+        )
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+    run()
+    got = spark.read.parquet(store)
+    expected = SK.value_histogram(
+        spark.createDataFrame(rows1 + rows2, schema), "value", ["event_type"], 0.0, 100.0, bins=10
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+    est = SK.histogram_quantiles(got, ["event_type"], [0.5], 0.0, 100.0, bins=10)
+    m = {r["event_type"]: r["p50_est"] for r in est.collect()}
+    assert abs(m["a"] - 50.0) <= 10.0  # uniform 0..99 → p50 within one bin
