@@ -201,3 +201,59 @@ def test_asof_join_matches_pandas_merge_asof_on_random_data(spark):
         for r in asof_join(ldf, rdf, on="k", payload=["rv"]).collect()
     }
     assert got == want_map
+
+
+def test_chunking_reconstructs_document(spark):
+    """Every chunk with its overlap trimmed concatenates back to the
+    original document — no token lost or duplicated — on randomized docs."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(f"t{rng.randrange(50)}" for _ in range(rng.randrange(1, 40))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id: int, text: string")
+    chunk_tokens, overlap = 10, 3
+    step = chunk_tokens - overlap
+    out = TX.chunk_documents(df, chunk_tokens=chunk_tokens, overlap=overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_index"], r["chunk"]))
+    for doc_id, text in rows:
+        rebuilt: list[str] = []
+        for idx, chunk in sorted(by_doc[doc_id]):
+            start = idx * step
+            toks = chunk.split(" ")
+            shared = len(rebuilt) - start  # tokens this chunk re-covers
+            assert shared >= 0
+            assert toks[:shared] == rebuilt[start:]  # overlap region agrees
+            rebuilt.extend(toks[shared:])
+        assert " ".join(rebuilt) == text
+
+
+def test_shingles_regex_equals_split_semantics(spark):
+    """The lookahead-regex shingle implementation equals the split-based
+    definition on single-space-normalized random token streams."""
+    import random
+
+    from lab_flink_repository_analytics_spark.datapipe import dedup as DD
+
+    rng = random.Random(13)
+    rows = [
+        (i, " ".join(f"w{rng.randrange(9)}" for _ in range(rng.randrange(1, 15))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id: int, text: string")
+    for k in (2, 3, 5):
+        got = {
+            r["doc_id"]: sorted(r["g"])
+            for r in df.select("doc_id", DD.shingles("text", k).alias("g")).collect()
+        }
+        for doc_id, text in rows:
+            toks = text.split(" ")
+            if len(toks) >= k:
+                want = sorted({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
+            else:
+                want = [text]
+            assert got[doc_id] == want, (doc_id, k)
