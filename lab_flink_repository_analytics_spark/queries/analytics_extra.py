@@ -1,0 +1,298 @@
+"""Corpus/sequence/graph analytics beyond the reference's SQL surface.
+
+Four families the 100 TB training-data pipeline needs that the suite did not
+yet cover: corpus-relative term weighting (TF-IDF), equi-depth bucketing
+(NTILE), gaps-and-islands sequence runs (the general form of the CEP funnel
+in suite.py::funnel_sequence), and triangle counting / clustering coefficient
+over a co-occurrence graph (the local-structure complement of
+datapipe/graph.py's connected components).
+
+All four are oracle-checked (DuckDB twins below).  Float policy is
+suite-wide: DECIMAL(18,6) for sums, identical operand order for double
+division, round(x, 6) on derived scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lab_flink_repository_analytics_spark.session import load_tables
+
+DEC = "DECIMAL(18,6)"
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.
+
+    Plan: one explode → (doc, term) count (the only corpus-size shuffle);
+    document frequency re-aggregates that *already-aggregated* table (terms ≪
+    tokens); N broadcasts as a one-row scalar.  The per-document top-3 is a
+    doc_id-partitioned window — WindowGroupLimit keeps only 3 rows per doc
+    below the final exchange."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "score", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+TFIDF_SQL = """
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6)
+           AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, score, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# NTILE equi-depth buckets
+
+
+def customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers bucketed into revenue quartiles (NTILE(4)), summarized per
+    bucket.  The global NTILE sorts only the *aggregated* per-customer view
+    (customer-cardinality).  At 100 TB you'd swap the exact NTILE for
+    approx-quantile range boundaries (datapipe/sketches.py histograms) —
+    this is the exact form those sketches approximate.  Per-customer revenue
+    re-enters DECIMAL before the bucket sum so the total is order-independent
+    on both engines."""
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr(f"CAST(o_totalprice AS {DEC})"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy("revenue", "o_custkey")
+    bucketed = per_cust.withColumn("quartile", F.ntile(4).over(w).cast("int"))
+    return bucketed.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.expr(f"CAST(revenue AS {DEC})")).cast("double").alias("total_revenue"),
+        F.min("revenue").alias("min_revenue"),
+        F.max("revenue").alias("max_revenue"),
+    )
+
+
+QUARTILES_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS revenue
+  FROM orders GROUP BY o_custkey
+),
+bucketed AS (
+  SELECT *, CAST(ntile(4) OVER (ORDER BY revenue, o_custkey) AS INT) AS quartile
+  FROM per_cust
+)
+SELECT quartile, count(*) AS n_customers,
+       CAST(sum(CAST(revenue AS {DEC})) AS DOUBLE) AS total_revenue,
+       min(revenue) AS min_revenue, max(revenue) AS max_revenue
+FROM bucketed GROUP BY quartile
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest strictly-increasing value run per user
+
+
+def user_value_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest strictly-increasing run of event values per user — the
+    gaps-and-islands pattern (MATCH_RECOGNIZE ``A B+`` with a monotone
+    condition, expressed relationally).  Both window passes share one
+    (user_id, ts, event_id) sort, so the plan has a single hash exchange on
+    user_id; islands then collapse with two cheap re-aggregations of
+    already-shuffled data."""
+    t = load_tables(spark, sf_dir)
+    order = [F.col("ts"), F.col("event_id")]
+    wseq = Window.partitionBy("user_id").orderBy(*order)
+    stepped = t["events"].select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("value") > F.lag("value").over(wseq), 1)
+        .otherwise(0)
+        .alias("step_up"),
+    )
+    # island id: number of run-breaks seen so far (running sum of 1-step_up)
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = stepped.withColumn(
+        "grp", F.sum(F.lit(1) - F.col("step_up")).over(wrun)
+    )
+    runs = islands.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_run"),
+        F.sum(F.expr("CAST(run_len AS BIGINT)")).alias("n_events"),
+    )
+
+
+STREAKS_SQL = """
+WITH stepped AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN value > lag(value) OVER w THEN 1 ELSE 0 END AS step_up
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT *, sum(1 - step_up) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM stepped
+),
+runs AS (
+  SELECT user_id, grp, count(*) AS run_len FROM islands GROUP BY user_id, grp
+)
+SELECT user_id, max(run_len) AS longest_run,
+       CAST(sum(run_len) AS BIGINT) AS n_events
+FROM runs GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / global clustering coefficient (co-purchase graph)
+
+
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the part
+    co-purchase graph (edge = two parts share an order, stored once as
+    pa < pb).
+
+    Scale shape: the edge list builds from ONE self-join on l_orderkey
+    (orders are small groups, so the pair expansion is bounded per order);
+    triangle enumeration is the standard two-hop join e1(a,b)⋈e2(b,c)
+    closed by a semi join against the edge set — every join is an equi-join
+    on a node column, shuffled by key, no nested loop.  Wedge counts come
+    from node degrees, not enumeration.  At 100 TB you'd pre-bucket edges
+    by node and count per-bucket (node-iterator); the join shape here is
+    exactly that under AQE."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb")))
+        .select("pa", "pb")
+        .distinct()
+    )
+    # wedges: sum over nodes of C(deg, 2)
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("CAST(deg * (deg - 1) / 2 AS BIGINT)")).alias("n_wedges")
+    )
+    e2 = edges.select(F.col("pa").alias("qa"), F.col("pb").alias("qb"))
+    e3 = edges.select(F.col("pa").alias("ra"), F.col("pb").alias("rb"))
+    tri = (
+        edges.join(e2, F.col("pb") == F.col("qa"))
+        .join(
+            e3,
+            (F.col("pa") == F.col("ra")) & (F.col("qb") == F.col("rb")),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n_edges.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(wedges))
+        .withColumn(
+            "clustering_coefficient",
+            F.round(
+                F.lit(3.0)
+                * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+TRIANGLES_SQL = """
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT pa AS node FROM edges UNION ALL SELECT pb AS node FROM edges
+  ) GROUP BY node
+),
+wedges AS (SELECT CAST(sum(CAST(deg * (deg - 1) / 2 AS BIGINT)) AS BIGINT)
+             AS n_wedges FROM deg),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.pb = e2.pa
+  WHERE EXISTS (SELECT 1 FROM edges e3 WHERE e3.pa = e1.pa AND e3.pb = e2.pb)
+),
+ne AS (SELECT count(*) AS n_edges FROM edges)
+SELECT n_edges, n_triangles, n_wedges,
+       round(3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE), 6)
+         AS clustering_coefficient
+FROM ne CROSS JOIN tri CROSS JOIN wedges
+"""
+
+
+QUERIES = {
+    "tfidf_top_terms": tfidf_top_terms,
+    "customer_revenue_quartiles": customer_revenue_quartiles,
+    "user_value_streaks": user_value_streaks,
+    "copurchase_triangles": copurchase_triangles,
+}
+
+ORACLES = {
+    "tfidf_top_terms": TFIDF_SQL,
+    "customer_revenue_quartiles": QUARTILES_SQL,
+    "user_value_streaks": STREAKS_SQL,
+    "copurchase_triangles": TRIANGLES_SQL,
+}

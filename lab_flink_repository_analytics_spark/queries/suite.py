@@ -30,6 +30,7 @@ from lab_flink_repository_analytics_spark.datapipe import similarity as SIM
 from lab_flink_repository_analytics_spark.datapipe import text as TX
 from lab_flink_repository_analytics_spark.functions import aggregate as AGG
 from lab_flink_repository_analytics_spark.queries import community as CQ
+from lab_flink_repository_analytics_spark.queries import analytics_extra as AX
 from lab_flink_repository_analytics_spark.queries import tpch_extra as TPCH
 from lab_flink_repository_analytics_spark.session import load_tables
 
@@ -2522,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_outliers": value_outliers,
         "grouping_sets_orders": grouping_sets_orders,
         **TPCH.QUERIES,
+        **AX.QUERIES,
     }
 
 
@@ -2595,4 +2597,5 @@ def oracle_sql() -> dict[str, str]:
         "value_outliers": VALUE_OUTLIERS_SQL,
         "grouping_sets_orders": GROUPING_SETS_ORDERS_SQL,
         **TPCH.ORACLES,
+        **AX.ORACLES,
     }

@@ -1,0 +1,93 @@
+"""Pins for queries/analytics_extra.py — plan shapes + semantic invariants.
+
+Value correctness vs DuckDB is tools/check_correctness.py's job; here we pin
+the scale-relevant plan properties and a few closed-form invariants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lab_flink_repository_analytics_spark.queries import analytics_extra as AX
+
+
+def _formatted(df, spark) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_streaks_single_user_exchange(spark, sf_dir):
+    # both window passes and both re-aggregations ride ONE user_id shuffle:
+    # hashpartitioning(user_id) satisfies the (user_id, grp) clustering.
+    plan = AX.user_value_streaks(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_streaks_values(spark):
+    # hand-checkable sequence: values 1,2,3 then 1,2 → longest run 3
+    rows = [
+        (1, "2024-01-01 00:00:0%d" % i, i, float(v))
+        for i, v in enumerate([1, 2, 3, 1, 2])
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, event_id long, value double")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    df.createOrReplaceTempView("_streak_probe")
+    from lab_flink_repository_analytics_spark.queries.analytics_extra import (
+        user_value_streaks,
+    )
+    import lab_flink_repository_analytics_spark.session as S
+
+    orig = S.load_tables
+    try:
+        S.load_tables = lambda spark_, sf_dir_: {"events": df}
+        AX.load_tables = S.load_tables
+        out = {r["user_id"]: r for r in user_value_streaks(spark, "x").collect()}
+    finally:
+        S.load_tables = orig
+        AX.load_tables = orig
+    assert out[1]["longest_run"] == 3
+    assert out[1]["n_events"] == 5
+
+
+def test_tfidf_window_group_limit(spark, sf_dir):
+    # the per-doc top-3 must prune below the window sort (WindowGroupLimit),
+    # not materialize full per-doc rankings through the exchange.
+    plan = _formatted(AX.tfidf_top_terms(spark, sf_dir), spark)
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_tfidf_scores_nonnegative(spark, sf_dir):
+    rows = AX.tfidf_top_terms(spark, sf_dir).limit(200).collect()
+    assert rows and all(r["score"] >= 0.0 for r in rows)
+    assert all(1 <= r["rnk"] <= 3 for r in rows)
+
+
+def test_quartiles_partition_counts_balanced(spark, sf_dir):
+    rows = {r["quartile"]: r for r in AX.customer_revenue_quartiles(spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    counts = [rows[q]["n_customers"] for q in (1, 2, 3, 4)]
+    assert max(counts) - min(counts) <= 1  # NTILE equi-depth guarantee
+    # buckets are ordered ranges
+    assert rows[1]["max_revenue"] <= rows[2]["min_revenue"]
+    assert rows[3]["max_revenue"] <= rows[4]["min_revenue"]
+
+
+def test_triangles_closed_form(spark):
+    # K4 on one order: 6 edges, 4 triangles, 12 wedges, coefficient 1.0
+    li = spark.createDataFrame(
+        [(1, p) for p in [10, 20, 30, 40]], "l_orderkey long, l_partkey long"
+    )
+    import lab_flink_repository_analytics_spark.session as S
+
+    orig = S.load_tables
+    try:
+        S.load_tables = lambda spark_, sf_dir_: {"lineitem": li}
+        AX.load_tables = S.load_tables
+        row = AX.copurchase_triangles(spark, "x").collect()[0]
+    finally:
+        S.load_tables = orig
+        AX.load_tables = orig
+    assert row["n_edges"] == 6
+    assert row["n_triangles"] == 4
+    assert row["n_wedges"] == 12
+    assert row["clustering_coefficient"] == 1.0
