@@ -283,8 +283,28 @@ FROM ne CROSS JOIN tri CROSS JOIN wedges
 """
 
 
+# ---------------------------------------------------------------------------
+# First-fit-decreasing packing summary (procedural — rows-only check)
+
+
+def ffd_packing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document bin packing (FFD) at capacity 256, summarized per
+    shard.  Greedy bin state is inherently procedural, so this is the one
+    suite entry with no SQL oracle: the driver records a rows-only check;
+    tests/test_packing.py pins the packing invariants (capacity, identity,
+    determinism, first-fit sparseness bound) instead."""
+    from lab_flink_repository_analytics_spark.datapipe import packing as P
+    from lab_flink_repository_analytics_spark.datapipe import text as TX
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "lang", TX.token_count("text").alias("n_tokens")
+    )
+    return P.packing_summary(P.first_fit_pack(docs, 256), 256)
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
+    "ffd_packing_summary": ffd_packing_summary,
     "customer_revenue_quartiles": customer_revenue_quartiles,
     "user_value_streaks": user_value_streaks,
     "copurchase_triangles": copurchase_triangles,

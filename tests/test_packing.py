@@ -1,0 +1,94 @@
+"""First-fit-decreasing packing (datapipe/packing.py) invariants.
+
+No SQL oracle (greedy bin state is procedural); instead we pin the
+guarantees that matter: capacity is never exceeded, every row keeps its
+identity, assignment is deterministic, FFD stays within the theoretical
+bound of optimal, and oversize docs are isolated + flagged.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from lab_flink_repository_analytics_spark.datapipe import packing as P
+from lab_flink_repository_analytics_spark.datapipe import text as TX
+from lab_flink_repository_analytics_spark.session import load_tables
+
+CAP = 128
+
+
+def _sized_docs(spark, sf_dir):
+    return (
+        load_tables(spark, sf_dir)["documents"]
+        .select("doc_id", "lang", TX.token_count("text").alias("n_tokens"))
+    )
+
+
+def test_ffd_capacity_and_identity(spark, sf_dir):
+    docs = _sized_docs(spark, sf_dir)
+    packed = P.first_fit_pack(docs, CAP)
+    # identity: same rows in, same rows out
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+    # capacity: no non-oversize bin exceeds CAP; oversize bins hold one doc
+    per_bin = packed.groupBy("shard", "bin").agg(
+        F.sum("n_tokens").alias("tok"),
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.col("oversize").cast("int")).alias("over"),
+    )
+    bad = per_bin.filter((F.col("over") == 0) & (F.col("tok") > CAP)).count()
+    assert bad == 0
+    assert per_bin.filter((F.col("over") == 1) & (F.col("n") > 1)).count() == 0
+
+
+def test_ffd_quality_invariants(spark, sf_dir):
+    docs = _sized_docs(spark, sf_dir)
+    packed = P.first_fit_pack(docs, CAP).filter(~F.col("oversize"))
+    per_bin = packed.groupBy("shard", "bin").agg(F.sum("n_tokens").alias("tok"))
+    # first-fit guarantee: at most ONE bin per shard is ≤ half full (a second
+    # half-empty bin's contents would have fit in the first)
+    sparse = (
+        per_bin.filter(F.col("tok") * 2 <= CAP)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_sparse"))
+        .filter(F.col("n_sparse") > 1)
+        .count()
+    )
+    assert sparse == 0
+    # and bins never fall below the volume lower bound
+    stats = (
+        per_bin.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("bins"), F.sum("tok").alias("tok"))
+        .collect()
+    )
+    assert stats
+    for r in stats:
+        assert r["bins"] >= math.ceil(r["tok"] / CAP), r
+
+
+def test_ffd_deterministic(spark, sf_dir):
+    docs = _sized_docs(spark, sf_dir)
+    a = sorted(map(tuple, P.first_fit_pack(docs, CAP).collect()))
+    b = sorted(map(tuple, P.first_fit_pack(docs.repartition(7), CAP).collect()))
+    assert a == b
+
+
+def test_ffd_oversize_flagged(spark):
+    rows = [("en", 1, 500), ("en", 2, 60), ("en", 3, 60), ("en", 4, 10)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+    packed = {r["doc_id"]: r for r in P.first_fit_pack(df, CAP).collect()}
+    assert packed[1]["oversize"] is True
+    bins_of_small = {packed[i]["bin"] for i in (2, 3, 4)}
+    assert packed[1]["bin"] not in bins_of_small
+    # 60+60+10 > 128: greedy splits across 2 bins at most
+    assert len(bins_of_small) <= 2
+
+
+def test_packing_summary_fill_rate(spark):
+    rows = [("en", 1, 64), ("en", 2, 64), ("en", 3, 64), ("en", 4, 64)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+    packed = P.first_fit_pack(df, CAP)
+    s = P.packing_summary(packed, CAP).collect()[0]
+    assert s["n_bins"] == 2 and s["fill_rate"] == 1.0 and s["n_oversize_bins"] == 0
