@@ -284,6 +284,143 @@ FROM ne CROSS JOIN tri CROSS JOIN wedges
 
 
 # ---------------------------------------------------------------------------
+# Pareto skyline (non-dominated frontier)
+
+
+def customer_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of customers over (acctbal, total order revenue):
+    keep customers no other customer strictly beats on BOTH axes.
+
+    Scale shape: the naive formulation is a quadratic NOT EXISTS self-join
+    (the DuckDB oracle runs exactly that); here it's the sort-scan skyline —
+    collapse ties per acctbal, order by acctbal desc, and a point survives
+    iff its revenue exceeds the running max over all *strictly higher*
+    acctbals (one window over the aggregated per-customer view, then a
+    semi-join back to recover per-customer rows).  O(n log n) vs O(n²)."""
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.sum(F.expr(f"CAST(o_totalprice AS {DEC})"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    # one representative (max revenue) per distinct acctbal value
+    per_bal = per_cust.groupBy("c_acctbal").agg(F.max("revenue").alias("best_rev"))
+    w = (
+        Window.orderBy(F.col("c_acctbal").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # dominated iff some strictly-higher acctbal has strictly higher
+    # revenue — so a point TYING the running max still survives (>=)
+    frontier_bal = (
+        per_bal.withColumn("max_above", F.max("best_rev").over(w))
+        .filter(F.col("max_above").isNull() | (F.col("best_rev") >= F.col("max_above")))
+        .select("c_acctbal", "max_above")
+    )
+    return (
+        per_cust.join(F.broadcast(frontier_bal), "c_acctbal")
+        .filter(F.col("max_above").isNull() | (F.col("revenue") >= F.col("max_above")))
+        .select("c_custkey", "c_acctbal", "revenue")
+    )
+
+
+SKYLINE_SQL = f"""
+WITH per_cust AS (
+  SELECT c_custkey, c_acctbal,
+         CAST(sum(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS revenue
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey, c_acctbal
+)
+SELECT c_custkey, c_acctbal, revenue
+FROM per_cust p
+WHERE NOT EXISTS (
+  SELECT 1 FROM per_cust q
+  WHERE q.c_acctbal > p.c_acctbal AND q.revenue > p.revenue
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint suite (deequ/dbt-test analog)
+
+
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality checks evaluated in one pass per table:
+    key uniqueness, referential integrity (anti-join), domain bounds, and
+    null rates — each row is (check_name, n_checked, n_violations).  The
+    shape every ingestion gate at 100 TB needs: all checks per table fold
+    into shared scans; the FK check is the only join (build side = the
+    distinct key set)."""
+    t = load_tables(spark, sf_dir)
+    orders, customer, lineitem, events = (
+        t["orders"],
+        t["customer"],
+        t["lineitem"],
+        t["events"],
+    )
+
+    uniq = orders.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.lit("orders_orderkey_unique").alias("check_name"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_violations"),
+    )
+    fk = (
+        orders.join(
+            customer.select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("orphans"))
+        .crossJoin(orders.agg(F.count(F.lit(1)).alias("total")))
+        .select(
+            F.lit("orders_custkey_fk").alias("check_name"),
+            F.col("total").alias("n_checked"),
+            F.col("orphans").alias("n_violations"),
+        )
+    )
+    bounds = lineitem.agg(
+        F.lit("lineitem_discount_domain").alias("check_name"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(
+                0
+            )
+        ).alias("n_violations"),
+    )
+    nulls = events.agg(
+        F.lit("events_user_not_null").alias("check_name"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias("n_violations"),
+    )
+    return uniq.unionAll(fk).unionAll(bounds).unionAll(nulls)
+
+
+DQ_CHECKS_SQL = """
+SELECT 'orders_orderkey_unique' AS check_name,
+       count(*) AS n_checked,
+       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY o_orderkey)
+UNION ALL
+SELECT 'orders_custkey_fk',
+       (SELECT count(*) FROM orders),
+       (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+UNION ALL
+SELECT 'lineitem_discount_domain', count(*),
+       CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'events_user_not_null', count(*),
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # First-fit-decreasing packing summary (procedural — rows-only check)
 
 
@@ -305,6 +442,8 @@ def ffd_packing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "ffd_packing_summary": ffd_packing_summary,
+    "customer_skyline": customer_skyline,
+    "dq_checks": dq_checks,
     "customer_revenue_quartiles": customer_revenue_quartiles,
     "user_value_streaks": user_value_streaks,
     "copurchase_triangles": copurchase_triangles,
@@ -312,6 +451,8 @@ QUERIES = {
 
 ORACLES = {
     "tfidf_top_terms": TFIDF_SQL,
+    "customer_skyline": SKYLINE_SQL,
+    "dq_checks": DQ_CHECKS_SQL,
     "customer_revenue_quartiles": QUARTILES_SQL,
     "user_value_streaks": STREAKS_SQL,
     "copurchase_triangles": TRIANGLES_SQL,
