@@ -132,6 +132,83 @@ GROUP BY supp_nation, cust_nation, l_year
 
 
 # ---------------------------------------------------------------------------
+# Q8 — market share: nation's slice of regional revenue per year.
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The widest star in the suite: lineitem⋈orders backbone with part,
+    supplier, customer, nation×2, region all broadcast.  The share is a
+    conditional-sum ratio per year — numerator and denominator come out of
+    ONE aggregation (no second pass, no self-join)."""
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_type") == "ECONOMY")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(t["region"]), F.col("c_rk") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+    )
+    vol = F.expr(_REV)
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                F.lit(0).cast(DEC)
+            ))
+            .cast("double")
+            .alias("nation_volume"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+        .withColumn(
+            "mkt_share",
+            F.round(F.col("nation_volume") / F.col("total_volume"), 6),
+        )
+    )
+
+
+Q8_SQL = f"""
+SELECT o_year,
+       nation_volume, total_volume,
+       round(nation_volume / total_volume, 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(sum(CASE WHEN n2.n_name = 'NATION_3' THEN {_REV}
+                       ELSE CAST(0 AS {DEC}) END) AS DOUBLE) AS nation_volume,
+         CAST(sum({_REV}) AS DOUBLE) AS total_volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+  GROUP BY 1
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q10 — returned-item reporting: top-20 customers by lost revenue.
 
 
@@ -486,6 +563,7 @@ GROUP BY c_mktsegment
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
     "q10_returned_items": q10_returned_items,
     "q12_priority_lines": q12_priority_lines,
     "q14_promo_revenue": q14_promo_revenue,
@@ -499,6 +577,7 @@ QUERIES = {
 ORACLES = {
     "q6_forecast_revenue": Q6_SQL,
     "q7_volume_shipping": Q7_SQL,
+    "q8_market_share": Q8_SQL,
     "q10_returned_items": Q10_SQL,
     "q12_priority_lines": Q12_SQL,
     "q14_promo_revenue": Q14_SQL,
