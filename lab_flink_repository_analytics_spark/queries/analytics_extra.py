@@ -219,6 +219,13 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
         .distinct()
     )
+    # the edge list feeds five consumers (deg, e1, e2, e3-semi, count) —
+    # without a persist each one would redo the self-join + distinct.  At
+    # 100 TB this is the standard materialize-the-edge-list step of every
+    # distributed triangle count (MEMORY_AND_DISK: spills, never recomputes).
+    from pyspark import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     # wedges: sum over nodes of C(deg, 2)
     deg = (
         edges.select(F.col("pa").alias("node"))
