@@ -321,3 +321,58 @@ def test_github_datasource_prunes_slices_from_pushed_filters(spark, tmp_path):
     )
     assert both.rdd.getNumPartitions() == 1
     assert [r["sha1"] for r in both.collect()] == ["s2"]
+
+
+def test_github_pulls_python_datasource(spark, tmp_path):
+    # PR twin of the commits DataSource: one input partition per created-asc
+    # PAGE (the PR list API has no since/until slicing), fixture-backed
+    import copy
+    import json
+
+    from lab_flink_repository_analytics_spark.ingest import github_pulls_source
+
+    p1 = copy.deepcopy(API_PULL)
+    p2 = copy.deepcopy(API_PULL)
+    p2["number"] = 8
+    p2["created_at"] = "2021-02-01T00:00:00Z"
+    (tmp_path / "pulls_page_1.json").write_text(json.dumps([p1]))
+    (tmp_path / "pulls_page_2.json").write_text(json.dumps([p2]))
+
+    github_pulls_source.register(spark)
+    df = (
+        spark.read.format("github_pulls")
+        .option("fixture_dir", str(tmp_path))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2  # one per page (auto from fixtures)
+    rows = {r["number"]: r for r in df.collect()}
+    assert set(rows) == {7, 8}
+    assert rows[7]["creator"] == "alice"
+    assert rows[7]["labels"] == ["component=runtime"]
+    assert rows[7]["mergeCommit"] == "deadbeef"
+    assert rows[7]["createdAt"] == datetime(2021, 1, 1, 0, 0)
+
+
+def test_github_pulls_since_resume_filter(spark, tmp_path):
+    # the reference's checkpointed lastTime (GithubPullRequestSource.java:73-81)
+    # maps to the row-level `since` option: only PRs created strictly after
+    import copy
+    import json
+
+    from lab_flink_repository_analytics_spark.ingest import github_pulls_source
+
+    p1 = copy.deepcopy(API_PULL)
+    p2 = copy.deepcopy(API_PULL)
+    p2["number"] = 8
+    p2["created_at"] = "2021-02-01T00:00:00Z"
+    (tmp_path / "pulls_page_1.json").write_text(json.dumps([p1, p2]))
+
+    github_pulls_source.register(spark)
+    df = (
+        spark.read.format("github_pulls")
+        .option("fixture_dir", str(tmp_path))
+        .option("since", "2021-01-01T00:00:00")
+        .load()
+    )
+    rows = df.collect()
+    assert [r["number"] for r in rows] == [8]  # equal-to-since excluded
