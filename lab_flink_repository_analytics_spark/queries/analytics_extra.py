@@ -291,6 +291,135 @@ FROM ne CROSS JOIN tri CROSS JOIN wedges
 
 
 # ---------------------------------------------------------------------------
+# Inter-event gap distribution (lag + exact quantiles)
+
+
+def event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event-type distribution of the time gap between consecutive
+    events of the SAME user: median and p90 seconds, plus mean.  The lag
+    window and the quantile aggregation both key on coarse columns — one
+    user_id exchange for the lag, one event_type exchange for the
+    percentile (exact here; the 100 TB path swaps in the mergeable
+    histogram sketch, datapipe/sketches.py)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        t["events"]
+        .select(
+            "event_type",
+            (
+                F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+            ).alias("gap_sec"),
+        )
+        .filter(F.col("gap_sec").isNotNull())
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.expr("percentile(gap_sec, 0.5)").alias("p50_gap"),
+        F.expr("percentile(gap_sec, 0.9)").alias("p90_gap"),
+        (
+            F.sum(F.expr("CAST(gap_sec AS DECIMAL(18,6))")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_gap"),
+    )
+
+
+EVENT_GAP_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS gap_sec
+  FROM events
+)
+SELECT event_type, count(*) AS n_gaps,
+       quantile_cont(gap_sec, 0.5) AS p50_gap,
+       quantile_cont(gap_sec, 0.9) AS p90_gap,
+       CAST(sum(CAST(gap_sec AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_gap
+FROM gaps WHERE gap_sec IS NOT NULL
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUBE (completes the grouping trio: ROLLUP / GROUPING SETS / CUBE)
+
+
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (priority, status): all four grouping combinations in
+    one Expand + one aggregation pass, with grouping() flags separating
+    subtotal rows from real NULLs — the remaining member of the grouping
+    family next to rollup_order_revenue and grouping_sets_orders."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr(f"CAST(o_totalprice AS {DEC})"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+CUBE_SQL = f"""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Unified multi-source activity timeline (UNION ALL harmonization)
+
+
+def unified_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One activity timeline from two differently-shaped sources — events
+    (ts) and orders (o_orderdate) — harmonized to a common schema with
+    UNION ALL, then rolled up per day × source.  The union is planned as
+    independent scans feeding ONE aggregation; neither source shuffles
+    before its partial agg."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.lit("events").alias("source"),
+        F.col("value").alias("amount"),
+    )
+    od = t["orders"].select(
+        F.date_trunc("day", "o_orderdate").alias("day"),
+        F.lit("orders").alias("source"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    return (
+        ev.unionAll(od)
+        .groupBy("day", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(f"CAST(amount AS {DEC})")).cast("double").alias("total"),
+        )
+    )
+
+
+UNIFIED_ACTIVITY_SQL = f"""
+SELECT day, source, count(*) AS n,
+       CAST(sum(CAST(amount AS {DEC})) AS DOUBLE) AS total
+FROM (
+  SELECT date_trunc('day', ts) AS day, 'events' AS source, value AS amount
+  FROM events
+  UNION ALL
+  SELECT date_trunc('day', o_orderdate), 'orders', o_totalprice FROM orders
+)
+GROUP BY day, source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Pareto skyline (non-dominated frontier)
 
 
@@ -454,12 +583,18 @@ QUERIES = {
     "customer_revenue_quartiles": customer_revenue_quartiles,
     "user_value_streaks": user_value_streaks,
     "copurchase_triangles": copurchase_triangles,
+    "event_gap_stats": event_gap_stats,
+    "cube_order_stats": cube_order_stats,
+    "unified_activity": unified_activity,
 }
 
 ORACLES = {
     "tfidf_top_terms": TFIDF_SQL,
     "customer_skyline": SKYLINE_SQL,
     "dq_checks": DQ_CHECKS_SQL,
+    "event_gap_stats": EVENT_GAP_SQL,
+    "cube_order_stats": CUBE_SQL,
+    "unified_activity": UNIFIED_ACTIVITY_SQL,
     "customer_revenue_quartiles": QUARTILES_SQL,
     "user_value_streaks": STREAKS_SQL,
     "copurchase_triangles": TRIANGLES_SQL,

@@ -685,3 +685,28 @@ def test_streaming_histogram_store_matches_batch(spark, tmp_path):
     est = SK.histogram_quantiles(got, ["event_type"], [0.5], 0.0, 100.0, bins=10)
     m = {r["event_type"]: r["p50_est"] for r in est.collect()}
     assert abs(m["a"] - 50.0) <= 10.0  # uniform 0..99 → p50 within one bin
+
+
+def test_drop_duplicates_within_watermark_builtin(spark, tmp_path):
+    # Spark 3.5+ built-in bounded-state dedup: same semantic as
+    # stateful.exact_dedup_stream but with engine-managed state eviction —
+    # the zero-custom-code path for streaming dedup at scale.
+    src = str(tmp_path / "docs")
+    rows = [
+        (1, "aaa", datetime(2021, 1, 1, 10)),
+        (2, "aaa", datetime(2021, 1, 1, 10, 30)),  # dup inside the 1h window
+        (3, "bbb", datetime(2021, 1, 1, 12)),
+    ]
+    spark.createDataFrame(rows, "doc_id int, fp string, ts timestamp").write.parquet(src)
+    stream = spark.readStream.schema("doc_id int, fp string, ts timestamp").parquet(src)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["fp"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("ddww_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["fp"] for r in spark.sql("SELECT * FROM ddww_stream").collect())
+    assert got == ["aaa", "bbb"]
