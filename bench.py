@@ -64,8 +64,12 @@ def main():
     def run_one(item):
         name, fn = item
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            # transient local-mode hiccup (e.g. shuffle temp file cleanup
+            # racing a concurrent job): one retry, then let it raise
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return name, time.time() - t0
 
     items = list(suite.queries().items())

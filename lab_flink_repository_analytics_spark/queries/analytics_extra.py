@@ -420,6 +420,47 @@ GROUP BY day, source
 
 
 # ---------------------------------------------------------------------------
+# Fuzzy entity matching: blocked edit-distance pairs
+
+
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution shape the dedup family lacked: candidate pairs by a
+    cheap blocking key (name length — same-length here since the synthetic
+    names are fixed-width; real data blocks on prefix/phonetic keys too),
+    then verify with exact Levenshtein ≤ 1 inside the block.  Both the
+    block join and the verify run in codegen (`levenshtein` is a built-in
+    JVM expression) — the classic block-then-verify pattern that keeps the
+    O(n²) edit-distance off the full cross product at 100 TB."""
+    t = load_tables(spark, sf_dir)
+    a = t["supplier"].select(
+        F.col("s_suppkey").alias("k1"),
+        F.col("s_name").alias("name1"),
+        F.length("s_name").alias("len1"),
+    )
+    b = t["supplier"].select(
+        F.col("s_suppkey").alias("k2"),
+        F.col("s_name").alias("name2"),
+        F.length("s_name").alias("len2"),
+    )
+    return (
+        a.join(b, (F.col("len1") == F.col("len2")) & (F.col("k1") < F.col("k2")))
+        .withColumn("dist", F.levenshtein("name1", "name2"))
+        .filter(F.col("dist") <= 1)
+        .select("k1", "k2", "name1", "name2", F.col("dist").cast("int").alias("dist"))
+    )
+
+
+FUZZY_NAME_SQL = """
+WITH s AS (SELECT s_suppkey, s_name, len(s_name) AS l FROM supplier)
+SELECT a.s_suppkey AS k1, b.s_suppkey AS k2,
+       a.s_name AS name1, b.s_name AS name2,
+       CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+FROM s a JOIN s b ON a.l = b.l AND a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Pareto skyline (non-dominated frontier)
 
 
@@ -586,6 +627,7 @@ QUERIES = {
     "event_gap_stats": event_gap_stats,
     "cube_order_stats": cube_order_stats,
     "unified_activity": unified_activity,
+    "fuzzy_name_pairs": fuzzy_name_pairs,
 }
 
 ORACLES = {
@@ -595,6 +637,7 @@ ORACLES = {
     "event_gap_stats": EVENT_GAP_SQL,
     "cube_order_stats": CUBE_SQL,
     "unified_activity": UNIFIED_ACTIVITY_SQL,
+    "fuzzy_name_pairs": FUZZY_NAME_SQL,
     "customer_revenue_quartiles": QUARTILES_SQL,
     "user_value_streaks": STREAKS_SQL,
     "copurchase_triangles": TRIANGLES_SQL,
