@@ -257,3 +257,105 @@ def test_shingles_regex_equals_split_semantics(spark):
             else:
                 want = [text]
             assert got[doc_id] == want, (doc_id, k)
+
+
+def _brute_skyline(points):
+    """O(n²) dominance filter: (a, r) survives iff no q strictly beats both."""
+    return sorted(
+        (a, r)
+        for (a, r) in points
+        if not any(qa > a and qr > r for (qa, qr) in points)
+    )
+
+
+def test_skyline_matches_bruteforce_random(spark):
+    """The sort-scan skyline equals the quadratic definition on random data
+    with deliberate ties on both axes (small value domains)."""
+    import random
+
+    from lab_flink_repository_analytics_spark.queries import analytics_extra as AX
+    import lab_flink_repository_analytics_spark.session as S
+
+    rng = random.Random(42)
+    for trial in range(4):
+        pts = [(rng.randint(0, 12), rng.randint(0, 12)) for _ in range(40)]
+        cust = spark.createDataFrame(
+            [(i, float(a)) for i, (a, _) in enumerate(pts)],
+            "c_custkey long, c_acctbal double",
+        )
+        orders = spark.createDataFrame(
+            [(i, float(r)) for i, (_, r) in enumerate(pts)],
+            "o_custkey long, o_totalprice double",
+        )
+        orig = S.load_tables
+        try:
+            AX.load_tables = lambda sp, sf: {"customer": cust, "orders": orders}
+            got = sorted(
+                (int(r["c_acctbal"]), int(r["revenue"]))
+                for r in AX.customer_skyline(spark, "x").collect()
+            )
+        finally:
+            AX.load_tables = orig
+        assert got == _brute_skyline(pts), (trial, pts)
+
+
+def _optimal_bins(sizes, cap):
+    """Exact minimal bin count via bitmask DP (n ≤ 12)."""
+    n = len(sizes)
+    fits = []
+    for mask in range(1 << n):
+        tot = sum(sizes[i] for i in range(n) if mask >> i & 1)
+        fits.append(tot <= cap)
+    best = {0: 0}
+    import heapq
+
+    dist = [None] * (1 << n)
+    dist[0] = 0
+    q = [(0, 0)]
+    while q:
+        d, mask = heapq.heappop(q)
+        if dist[mask] is not None and d > dist[mask]:
+            continue
+        if mask == (1 << n) - 1:
+            return d
+        free = [i for i in range(n) if not mask >> i & 1]
+        first = free[0]
+        # enumerate subsets of free items containing `first` that fit
+        rest = free[1:]
+        for sub_mask in range(1 << len(rest)):
+            m = 1 << first
+            for j, i in enumerate(rest):
+                if sub_mask >> j & 1:
+                    m |= 1 << i
+            if fits[m]:
+                nm = mask | m
+                if dist[nm] is None or d + 1 < dist[nm]:
+                    dist[nm] = d + 1
+                    heapq.heappush(q, (d + 1, nm))
+    raise AssertionError("unreachable")
+
+
+def test_ffd_within_proved_bound_of_optimal(spark):
+    """FFD uses at most 11/9·OPT + 1 bins — checked against the EXACT
+    optimum (bitmask DP) on seeded random shards."""
+    import math
+    import random
+
+    from lab_flink_repository_analytics_spark.datapipe import packing as P
+
+    rng = random.Random(7)
+    cap = 100
+    rows = []
+    shards = {}
+    for s in range(6):
+        sizes = [rng.randint(1, cap) for _ in range(rng.randint(4, 9))]
+        shards[f"s{s}"] = sizes
+        rows += [(f"s{s}", i, sz) for i, sz in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+    packed = P.first_fit_pack(df, cap)
+    got = {}
+    for r in packed.collect():
+        got.setdefault(r["shard"], set()).add(r["bin"])
+    for shard, sizes in shards.items():
+        opt = _optimal_bins(sizes, cap)
+        assert len(got[shard]) <= math.floor(11 / 9 * opt) + 1, (shard, sizes, opt)
