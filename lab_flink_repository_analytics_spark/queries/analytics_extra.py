@@ -420,6 +420,123 @@ GROUP BY day, source
 
 
 # ---------------------------------------------------------------------------
+# Inverted index (search-index build over the corpus)
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting lists for every term seen in ≥ 5 documents: sorted distinct
+    doc ids + document frequency.  One explode → one (term) aggregation;
+    the sorted-array postings make the output order-insensitive, so the
+    build is correct under any partitioning.  At 100 TB postings get
+    delta-encoded and bucketed by term — the aggregation shape here is
+    already that plan's map side."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .filter(F.col("df") >= 5)
+    )
+
+
+INVERTED_INDEX_SQL = """
+SELECT term, list(DISTINCT doc_id ORDER BY doc_id) AS postings,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+GROUP BY term
+HAVING count(DISTINCT doc_id) >= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group top-k sample
+
+
+def per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K deterministic exemplars per class (here: 3 docs per language) —
+    the "take k per stratum" op every training-data builder needs.  Rank by
+    an id-derived md5 hash (uniform, engine-portable, reshard-stable — the
+    same determinism contract as datapipe/sampling.py) and keep rank ≤ k;
+    WindowGroupLimit prunes to k per group below the exchange."""
+    t = load_tables(spark, sf_dir)
+    hashed = t["documents"].select(
+        "doc_id",
+        "lang",
+        F.expr("conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)")
+        .cast("bigint")
+        .alias("h"),
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        hashed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("lang", "doc_id", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+PER_GROUP_SAMPLE_SQL = """
+SELECT lang, doc_id, CAST(rnk AS INT) AS rnk FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                    doc_id) AS rnk
+  FROM documents
+) WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month growth (window ratio analytics)
+
+
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order revenue with previous-month delta and growth ratio —
+    the lag-over-aggregate reporting shape.  The window runs over the
+    MONTH-cardinality aggregate (tiny), so the global ordering is free at
+    any source scale."""
+    t = load_tables(spark, sf_dir)
+    monthly = (
+        t["orders"]
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.sum(F.expr(f"CAST(o_totalprice AS {DEC})"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        F.lag("revenue").over(w).alias("prev_revenue"),
+        F.round(
+            (F.col("revenue") - F.lag("revenue").over(w))
+            / F.lag("revenue").over(w),
+            6,
+        ).alias("growth"),
+    )
+
+
+MONTHLY_GROWTH_SQL = f"""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(sum(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+       lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+       round((revenue - lag(revenue) OVER (ORDER BY month))
+             / lag(revenue) OVER (ORDER BY month), 6) AS growth
+FROM monthly
+"""
+
+
+# ---------------------------------------------------------------------------
 # Fuzzy entity matching: blocked edit-distance pairs
 
 
@@ -628,6 +745,9 @@ QUERIES = {
     "cube_order_stats": cube_order_stats,
     "unified_activity": unified_activity,
     "fuzzy_name_pairs": fuzzy_name_pairs,
+    "inverted_index": inverted_index,
+    "per_group_sample": per_group_sample,
+    "monthly_revenue_growth": monthly_revenue_growth,
 }
 
 ORACLES = {
@@ -638,6 +758,9 @@ ORACLES = {
     "cube_order_stats": CUBE_SQL,
     "unified_activity": UNIFIED_ACTIVITY_SQL,
     "fuzzy_name_pairs": FUZZY_NAME_SQL,
+    "inverted_index": INVERTED_INDEX_SQL,
+    "per_group_sample": PER_GROUP_SAMPLE_SQL,
+    "monthly_revenue_growth": MONTHLY_GROWTH_SQL,
     "customer_revenue_quartiles": QUARTILES_SQL,
     "user_value_streaks": STREAKS_SQL,
     "copurchase_triangles": TRIANGLES_SQL,
