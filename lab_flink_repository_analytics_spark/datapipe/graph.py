@@ -132,3 +132,68 @@ def dedup_cluster_summary(
         F.count(F.lit(1)).alias("size"),
         F.min(id_col).alias("keep"),
     )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 10**12,
+    d_num: int = 17,
+    d_den: int = 20,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an UNDIRECTED edge list (``pa < pb``
+    once per edge), in scaled-integer arithmetic.
+
+    All rank mass is carried as BIGINT units of 1/``scale`` and every
+    division is integer division, so the result is bit-identical on any
+    engine and any partitioning — the same engine-portability trick as the
+    md5 hashing in :mod:`dedup` (float PageRank would drift by summation
+    order).  Damping is the rational ``d_num/d_den`` (default 17/20 =
+    0.85).  Undirected degree ≥ 1 everywhere, so there is no dangling-mass
+    term.
+
+    Scale shape: per iteration one join of the rank table onto the
+    bidirected edge list (shuffle on src) and one aggregation on dst —
+    identical to the min-label rounds of :func:`connected_components`; the
+    driver loop is ``iters`` deep with each round's lineage cut by the
+    aggregation.  Returns (node, pr) with ranks in scaled units.
+    """
+    from pyspark import StorageLevel
+
+    both = (
+        _bidirect(edges, "pa", "pb")
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        # consumed by deg + every iteration's join: materialize once
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()  # node count: driver-side scalar, node-cardinality agg
+    base = (scale * (d_den - d_num)) // (d_den * n)
+    pr = deg.select(
+        F.col("src").alias("node"),
+        "deg",
+        F.lit(scale // n).cast("bigint").alias("pr"),
+    )
+    for _ in range(iters):
+        # never broadcast the rank table: it is node-cardinality and grows
+        # with the graph — shuffle-hash keeps both joins keyed on the node
+        # id at any scale (and keeps AQE from broadcasting mid-iteration)
+        contrib = (
+            both.join(pr.hint("shuffle_hash"), both["src"] == pr["node"])
+            .select("dst", F.expr("pr DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        pr = (
+            pr.select("node", "deg")
+            .join(contrib.hint("shuffle_hash"), pr["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit(base)
+                    + F.expr(f"({d_num} * coalesce(inflow, 0)) DIV {d_den}")
+                ).cast("bigint").alias("pr"),
+            )
+        )
+    return pr.select("node", "pr")

@@ -1,13 +1,23 @@
 """Corpus/sequence/graph analytics beyond the reference's SQL surface.
 
-Four families the 100 TB training-data pipeline needs that the suite did not
-yet cover: corpus-relative term weighting (TF-IDF), equi-depth bucketing
-(NTILE), gaps-and-islands sequence runs (the general form of the CEP funnel
-in suite.py::funnel_sequence), and triangle counting / clustering coefficient
-over a co-occurrence graph (the local-structure complement of
-datapipe/graph.py's connected components).
+The families a 100 TB training-data / analytics pipeline needs that
+suite.py did not yet cover:
 
-All four are oracle-checked (DuckDB twins below).  Float policy is
+* corpus ops — TF-IDF top terms, inverted-index posting lists,
+  deterministic per-stratum exemplar sampling;
+* sequence ops — gaps-and-islands value streaks (the general form of the
+  CEP funnel in suite.py::funnel_sequence), inter-event gap percentiles,
+  month-over-month growth ratios;
+* graph ops — triangle counting / clustering coefficient (the
+  local-structure complement of datapipe/graph.py's connected components);
+* frontier / bucketing — Pareto skyline (sort-scan vs the quadratic
+  definition), NTILE equi-depth revenue quartiles, CUBE grouping;
+* pipeline gates — deequ-style data-quality checks, blocked edit-distance
+  entity matching, multi-source UNION harmonization, and the
+  first-fit-decreasing packing summary (the one rows-only entry: greedy
+  bin state has no SQL twin).
+
+Everything else is oracle-checked (DuckDB twins below).  Float policy is
 suite-wide: DECIMAL(18,6) for sums, identical operand order for double
 division, round(x, 6) on derived scores.
 """
@@ -420,6 +430,85 @@ GROUP BY day, source
 
 
 # ---------------------------------------------------------------------------
+# PageRank (fixed-iteration, scaled-integer — bit-exact across engines)
+
+
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by 3-iteration PageRank over the co-purchase graph
+    (datapipe/graph.py::pagerank_int).  Rank mass is scaled-integer with
+    integer division throughout, so the iterative computation is
+    bit-identical on any engine/partitioning and the DuckDB oracle can
+    unroll the same three iterations — an ORACLE-CHECKED iterative graph
+    algorithm (dedup_clusters' recursive-CTE trick, extended to weighted
+    propagation)."""
+    from lab_flink_repository_analytics_spark.datapipe.graph import pagerank_int
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb")))
+        .select("pa", "pb")
+        .distinct()
+    )
+    return (
+        pagerank_int(edges, iters=3)
+        .orderBy(F.col("pr").desc(), "node")
+        .limit(20)
+    )
+
+
+_PR_EDGES_SQL = """
+li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+bidir AS (
+  SELECT pa AS src, pb AS dst FROM edges
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM edges
+),
+deg AS (SELECT src, count(*) AS deg FROM bidir GROUP BY src),
+n AS (SELECT count(*) AS c FROM deg)
+"""
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT d.node, d.deg,
+         CAST((3000000000000 // (20 * (SELECT c FROM n)))
+              + (17 * coalesce(s.inflow, 0)) // 20 AS BIGINT) AS pr
+  FROM (SELECT node, deg FROM {prev}) d
+  LEFT JOIN (
+    SELECT b.dst AS node, CAST(sum(p.pr // p.deg) AS BIGINT) AS inflow
+    FROM bidir b JOIN {prev} p ON b.src = p.node GROUP BY b.dst
+  ) s USING (node)
+)"""
+
+
+COPURCHASE_PAGERANK_SQL = (
+    "WITH "
+    + _PR_EDGES_SQL
+    + """,
+pr0 AS (SELECT src AS node, deg,
+               CAST(1000000000000 // (SELECT c FROM n) AS BIGINT) AS pr
+        FROM deg)"""
+    + ","
+    + _pr_iter_sql("pr0", "pr1")
+    + ","
+    + _pr_iter_sql("pr1", "pr2")
+    + ","
+    + _pr_iter_sql("pr2", "pr3")
+    + """
+SELECT node, pr FROM pr3 ORDER BY pr DESC, node LIMIT 20
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # Inverted index (search-index build over the corpus)
 
 
@@ -748,6 +837,7 @@ QUERIES = {
     "inverted_index": inverted_index,
     "per_group_sample": per_group_sample,
     "monthly_revenue_growth": monthly_revenue_growth,
+    "copurchase_pagerank": copurchase_pagerank,
 }
 
 ORACLES = {
@@ -761,6 +851,7 @@ ORACLES = {
     "inverted_index": INVERTED_INDEX_SQL,
     "per_group_sample": PER_GROUP_SAMPLE_SQL,
     "monthly_revenue_growth": MONTHLY_GROWTH_SQL,
+    "copurchase_pagerank": COPURCHASE_PAGERANK_SQL,
     "customer_revenue_quartiles": QUARTILES_SQL,
     "user_value_streaks": STREAKS_SQL,
     "copurchase_triangles": TRIANGLES_SQL,

@@ -94,10 +94,11 @@ def get_spark(
         builder = builder.config(k, v)
     if master.startswith("local"):
         builder = builder.master(master)
-        # local mode: one JVM; driver memory is the only memory knob.
-        mem = os.environ.get("SPARK_DRIVER_MEMORY")
-        if mem:
-            builder = builder.config("spark.driver.memory", mem)
+        # local mode: one JVM; driver memory is the only memory knob and
+        # Spark's 1g default starves broadcast builds + cached graph state
+        # on a many-core local run — default higher, env-overridable.
+        mem = os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+        builder = builder.config("spark.driver.memory", mem)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -96,3 +96,33 @@ def test_dedup_cluster_summary(spark):
         for r in graph.dedup_cluster_summary(labels).collect()
     }
     assert got == {1: (3, 1), 10: (1, 10)}
+
+
+def test_pagerank_int_symmetry_and_hubs(spark):
+    from lab_flink_repository_analytics_spark.datapipe.graph import pagerank_int
+    # star 0-(1..4) plus triangle 10-11-12: center outranks leaves,
+    # symmetric nodes tie exactly (integer arithmetic → exact equality)
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (10, 11), (10, 12), (11, 12)],
+        "pa long, pb long",
+    )
+    pr = {r["node"]: r["pr"] for r in pagerank_int(edges, iters=3).collect()}
+    assert pr[1] == pr[2] == pr[3] == pr[4]
+    assert pr[0] > pr[1]
+    assert pr[10] == pr[11] == pr[12]
+    # total mass stays within integer-truncation slack of the scale
+    assert abs(sum(pr.values()) - 10**12) < 100 * len(pr)
+
+
+def test_pagerank_int_deterministic_across_reshards(spark):
+    from lab_flink_repository_analytics_spark.datapipe.graph import pagerank_int
+    import random
+
+    rng = random.Random(3)
+    rows = list({(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(80)})
+    rows = [(a, b) for a, b in rows if a < b]
+    e1 = spark.createDataFrame(rows, "pa long, pb long")
+    e2 = e1.repartition(7)
+    a = sorted(map(tuple, pagerank_int(e1, iters=3).collect()))
+    b = sorted(map(tuple, pagerank_int(e2, iters=3).collect()))
+    assert a == b
