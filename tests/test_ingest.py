@@ -376,3 +376,44 @@ def test_github_pulls_since_resume_filter(spark, tmp_path):
     )
     rows = df.collect()
     assert [r["number"] for r in rows] == [8]  # equal-to-since excluded
+
+
+def test_mbox_python_datasource(spark, tmp_path):
+    # monthly-file-partitioned mbox source: one input partition per month,
+    # reference parsing (charset fallback, From/Sender) via ingest/mbox.py
+    d = tmp_path / "archive"
+    d.mkdir()
+    (d / "list-2021-01.mbox").write_text(MBOX_CONTENT)
+    (d / "list-2021-02.mbox").write_text(
+        MBOX_CONTENT.replace("Jan 2021", "Feb 2021")
+    )
+    from lab_flink_repository_analytics_spark.ingest import mbox_source
+
+    mbox_source.register(spark)
+    df = spark.read.format("mbox").option("dir", str(d)).load()
+    assert df.rdd.getNumPartitions() == 2  # one per monthly file
+    rows = df.collect()
+    assert {r["date"].month for r in rows} == {1, 2}
+    assert len(rows) == 6  # 3 messages per month, both months parsed
+
+
+def test_mbox_datasource_after_skips_whole_months(spark, tmp_path):
+    d = tmp_path / "archive"
+    d.mkdir()
+    (d / "list-2021-01.mbox").write_text(MBOX_CONTENT)
+    (d / "list-2021-02.mbox").write_text(
+        MBOX_CONTENT.replace("Jan 2021", "Feb 2021")
+    )
+    from lab_flink_repository_analytics_spark.ingest import mbox_source
+
+    mbox_source.register(spark)
+    df = (
+        spark.read.format("mbox")
+        .option("dir", str(d))
+        .option("after", "2021-02-01T00:00:00")
+        .load()
+    )
+    # the January FILE is pruned before any parsing (partition count 1)
+    assert df.rdd.getNumPartitions() == 1
+    rows = df.collect()
+    assert all(r["date"].month == 2 for r in rows)
