@@ -430,6 +430,69 @@ GROUP BY day, source
 
 
 # ---------------------------------------------------------------------------
+# Quantified CEP pattern: view → click{2,} → purchase
+
+
+def quantified_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE ``A B{2,} C`` analog, relationally: users whose first
+    view is followed by a purchase with AT LEAST TWO clicks strictly in
+    between — suite.py::funnel_sequence's first-after-first cascade plus a
+    quantifier on the middle symbol (a bounded COUNT over the matched
+    span).  Every stage is a user_id-keyed aggregation; the span-count join
+    touches only users who completed the outer pattern."""
+    ev = load_tables(spark, sf_dir)["events"]
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"), F.min("t_view").alias("t_view"))
+    )
+    mid = (
+        ev.filter(F.col("event_type") == "click")
+        .join(p, "user_id")
+        .filter((F.col("ts") > F.col("t_view")) & (F.col("ts") < F.col("t_purchase")))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_mid_clicks"),
+            F.min("t_view").alias("t_view"),
+            F.min("t_purchase").alias("t_purchase"),
+        )
+    )
+    return mid.filter(F.col("n_mid_clicks") >= 2).select(
+        "user_id", "t_view", "t_purchase", "n_mid_clicks"
+    )
+
+
+QUANTIFIED_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase, min(v.t_view) AS t_view
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+mid AS (
+  SELECT e.user_id, count(*) AS n_mid_clicks,
+         min(p.t_view) AS t_view, min(p.t_purchase) AS t_purchase
+  FROM events e JOIN p ON e.user_id = p.user_id
+  WHERE e.event_type = 'click' AND e.ts > p.t_view AND e.ts < p.t_purchase
+  GROUP BY e.user_id
+)
+SELECT user_id, t_view, t_purchase, n_mid_clicks
+FROM mid WHERE n_mid_clicks >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # PageRank (fixed-iteration, scaled-integer — bit-exact across engines)
 
 
@@ -838,6 +901,7 @@ QUERIES = {
     "per_group_sample": per_group_sample,
     "monthly_revenue_growth": monthly_revenue_growth,
     "copurchase_pagerank": copurchase_pagerank,
+    "quantified_funnel": quantified_funnel,
 }
 
 ORACLES = {
@@ -852,6 +916,7 @@ ORACLES = {
     "per_group_sample": PER_GROUP_SAMPLE_SQL,
     "monthly_revenue_growth": MONTHLY_GROWTH_SQL,
     "copurchase_pagerank": COPURCHASE_PAGERANK_SQL,
+    "quantified_funnel": QUANTIFIED_FUNNEL_SQL,
     "customer_revenue_quartiles": QUARTILES_SQL,
     "user_value_streaks": STREAKS_SQL,
     "copurchase_triangles": TRIANGLES_SQL,

@@ -101,3 +101,45 @@ def test_histogram_quantiles_merge_and_accuracy(spark):
     hb = SK.value_histogram(oob, "v", ["g"], 0.0, 1000.0, bins=100)
     bins = sorted(r["bin"] for r in hb.collect())
     assert bins == [0, 99]
+
+
+def test_histogram_sketch_drives_approx_ntile(spark, sf_dir):
+    """The documented NTILE-at-scale swap (customer_revenue_quartiles
+    docstring): histogram-sketch quantile boundaries bucket customers into
+    near-equi-depth quartiles without the global sort.  Buckets must land
+    within a few percent of n/4 each — the sketch's bin-resolution bound."""
+    from pyspark.sql import functions as F
+
+    from lab_flink_repository_analytics_spark.datapipe import sketches as SK
+    from lab_flink_repository_analytics_spark.session import load_tables
+
+    per_cust = (
+        load_tables(spark, sf_dir)["orders"]
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    lo, hi = 0.0, float(
+        per_cust.agg(F.max("revenue")).collect()[0][0]
+    ) + 1.0
+    hist = SK.value_histogram(
+        per_cust.withColumn("g", F.lit("all")), "revenue", ["g"], lo, hi, bins=512
+    )
+    qdf = SK.histogram_quantiles(hist, ["g"], [0.25, 0.5, 0.75], lo, hi, bins=512)
+    row = qdf.collect()[0]
+    b1, b2, b3 = row["p25_est"], row["p50_est"], row["p75_est"]
+    assert b1 <= b2 <= b3
+    bucketed = per_cust.withColumn(
+        "bucket",
+        F.when(F.col("revenue") <= b1, 1)
+        .when(F.col("revenue") <= b2, 2)
+        .when(F.col("revenue") <= b3, 3)
+        .otherwise(4),
+    )
+    counts = {
+        r["bucket"]: r["n"]
+        for r in bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = sum(counts.values())
+    for b in (1, 2, 3, 4):
+        # within 5% of perfect equi-depth (sketch edge resolution)
+        assert abs(counts.get(b, 0) - n / 4) <= 0.05 * n, counts
