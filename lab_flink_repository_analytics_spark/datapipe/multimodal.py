@@ -303,3 +303,116 @@ def extract_audio_features(
         .select("media_id", "payload", "duration_ms")
         .mapInPandas(batches, schema=AUDIO_SEGMENT_FEATURES)
     )
+
+
+PHASH = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("phash", StringType()),  # 16 hex chars = 64-bit aHash
+    ]
+)
+
+
+def _ahash64(pixels) -> int:
+    """64-bit average hash of an 8x8 grayscale grid: bit i set iff pixel i
+    is above the grid mean — the standard aHash; REAL math, fake pixels."""
+    mean = sum(pixels) / len(pixels)
+    h = 0
+    for i, p in enumerate(pixels):
+        if p > mean:
+            h |= 1 << i
+    return h
+
+
+def _fake_gray_grid(payload: bytes) -> list[int]:
+    """Deterministic md5-derived stand-in for decode→grayscale→8x8 resize.
+    Crucially, similarity is PAYLOAD-determined: near-identical payloads
+    (same md5) give identical grids, so dedup semantics are exercised."""
+    d = hashlib.md5(payload or b"").digest() + hashlib.md5(
+        (payload or b"") + b"#"
+    ).digest() + hashlib.md5((payload or b"") + b"##").digest() + hashlib.md5(
+        (payload or b"") + b"###"
+    ).digest()
+    return list(d)  # 64 bytes → 64 "pixels"
+
+
+def perceptual_hashes(
+    media: DataFrame, deterministic_fake: bool = True
+) -> DataFrame:
+    """(media_id, phash) for every image row — Arrow-batched ``mapInPandas``
+    over the payload column; swap ``_fake_gray_grid`` for a PIL
+    decode+resize to run on real images."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image decoding requires PIL/opencv; run with deterministic_fake=True"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                format(_ahash64(_fake_gray_grid(p)), "016x")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "phash": hashes})
+
+    imgs = media.filter(F.col("kind") == "image").select("media_id", "payload")
+    return imgs.mapInPandas(run, PHASH)
+
+
+def phash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-duplicate image pairs by Hamming distance over the 64-bit
+    perceptual hash, banded to avoid the all-pairs join: split the hash
+    into 4 × 16-bit bands — any pair within Hamming ≤ 8 OVER A MATCHING
+    BAND is a candidate (pigeonhole: distance ≤ max_hamming with
+    ``bands > max_hamming/ (64/bands)``... the standard multi-index trick),
+    then verify the exact distance in codegen (``bit_count(xor)``).
+
+    With the default ``max_hamming=8`` and 4 bands, any pair at distance
+    ≤ 8 that concentrates ≤ 2 flips per band in three bands still shares
+    NO band only if every band differs — pairs must share at least one
+    exact 16-bit band to be found (distance spread across all 4 bands is
+    missed; tighten with 8 bands for recall on higher thresholds)."""
+    # hex → signed 64-bit via two 32-bit halves (a single conv→bigint cast
+    # would overflow ANSI arithmetic when the top bit is set; shiftleft
+    # wraps to negative harmlessly — xor/bit_count/band-mask are bitwise)
+    h = hashes.select(
+        "media_id",
+        F.expr(
+            "shiftleft(CAST(conv(substr(phash, 1, 8), 16, 10) AS BIGINT), 32)"
+            " | CAST(conv(substr(phash, 9, 8), 16, 10) AS BIGINT)"
+        ).alias("h64"),
+    )
+    bands = h.select(
+        "media_id",
+        "h64",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(f"(h64 >> {16 * i}) & 65535").alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "h64", "bk.band", "bk.key")
+    a = bands.select(
+        F.col("media_id").alias("id1"),
+        F.col("h64").alias("h1"),
+        "band",
+        "key",
+    )
+    b = bands.select(
+        F.col("media_id").alias("id2"),
+        F.col("h64").alias("h2"),
+        "band",
+        "key",
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", F.expr("bit_count(h1 ^ h2)").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -103,3 +103,33 @@ def test_audio_feature_extraction_matches_segment_grid(spark):
     again = {(r["media_id"], r["seg_start_ms"]): r["features"]
              for r in MM.extract_audio_features(media, window_ms=5000).collect()}
     assert again == by_key
+
+
+def test_perceptual_hash_deterministic_and_hex(spark):
+    rows = [
+        ("m1", "image", "image/png", bytearray(b"payloadA"), 8, 8, None),
+        ("m2", "image", "image/png", bytearray(b"payloadA"), 8, 8, None),  # dup
+        ("m3", "image", "image/png", bytearray(b"payloadB"), 8, 8, None),
+        ("a1", "audio", "audio/wav", bytearray(b"x"), None, None, 1000),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA)
+    hashes = {r["media_id"]: r["phash"] for r in MM.perceptual_hashes(media).collect()}
+    assert set(hashes) == {"m1", "m2", "m3"}  # audio row excluded
+    assert hashes["m1"] == hashes["m2"]  # same payload → same hash
+    assert hashes["m1"] != hashes["m3"]
+    assert all(len(h) == 16 and int(h, 16) >= 0 for h in hashes.values())
+
+
+def test_phash_near_dup_pairs_band_and_verify(spark):
+    rows = [
+        ("m1", "image", "image/png", bytearray(b"payloadA"), 8, 8, None),
+        ("m2", "image", "image/png", bytearray(b"payloadA"), 8, 8, None),
+        ("m3", "image", "image/png", bytearray(b"payloadB"), 8, 8, None),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA)
+    hashes = MM.perceptual_hashes(media)
+    pairs = {(r["id1"], r["id2"]): r["hamming"] for r in MM.phash_near_dup_pairs(hashes).collect()}
+    assert pairs.get(("m1", "m2")) == 0  # exact dup found at distance 0
+    # unrelated pair appears only if it crosses the (unlikely) threshold
+    for (i, j), d in pairs.items():
+        assert d <= 8
