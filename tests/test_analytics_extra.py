@@ -91,3 +91,36 @@ def test_triangles_closed_form(spark):
     assert row["n_triangles"] == 4
     assert row["n_wedges"] == 12
     assert row["clustering_coefficient"] == 1.0
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cube_single_expand_single_agg_exchange(spark, sf_dir):
+    plan = _executed(AX.cube_order_stats(spark, sf_dir))
+    assert plan.count("Expand") == 1  # all 4 grouping combos in one pass
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_unified_activity_single_exchange(spark, sf_dir):
+    # both sources partial-aggregate below ONE shuffle of (day, source)
+    plan = _executed(AX.unified_activity(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_per_group_sample_window_group_limit(spark, sf_dir):
+    plan = _executed(AX.per_group_sample(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_event_gap_two_keyed_exchanges(spark, sf_dir):
+    # lag shuffles on user_id, the percentile agg re-keys on event_type —
+    # exactly two hash exchanges, nothing redundant
+    plan = _executed(AX.event_gap_stats(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_fuzzy_pairs_no_cartesian(spark, sf_dir):
+    plan = _executed(AX.fuzzy_name_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan  # length-block keys the join
