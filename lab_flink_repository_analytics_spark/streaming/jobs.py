@@ -232,3 +232,66 @@ def value_histogram_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def word_topk_stream(
+    docs: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    k: int = 10,
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Incremental top-k maintenance: per micro-batch word counts merge
+    into a persistent counter store; the CURRENT global top-k is one tiny
+    read away at any moment (``read_topk``), with raw documents never
+    re-scanned.
+
+    Counter-store size is vocabulary-bounded, not stream-bounded — the
+    same state contract as ``value_histogram_stream``.  For an unbounded
+    vocabulary at 100 TB, cap the store by keeping only counts the
+    count-min sketch (datapipe/sketches.py::cms_*) can't answer — exact
+    heads + sketched tail is the standard split; the merge shape here is
+    identical either way."""
+    from pyspark.sql import functions as F
+
+    from lab_flink_repository_analytics_spark.io import sinks
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        counts = (
+            batch_df.select(F.explode(F.split(text_col, " ")).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        if sinks._exists(spark, store_path):
+            counts = (
+                spark.read.parquet(store_path)
+                .unionByName(counts)
+                .groupBy("word")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        tmp = store_path.rstrip("/") + "._tmp"
+        counts.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(store_path)
+        sinks._rm(spark, tmp)
+
+    writer = (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_merge)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_topk(spark, store_path: str, k: int = 10) -> DataFrame:
+    """Current top-k from the counter store (deterministic tie-break)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(store_path)
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(k)
+    )

@@ -710,3 +710,29 @@ def test_drop_duplicates_within_watermark_builtin(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["fp"] for r in spark.sql("SELECT * FROM ddww_stream").collect())
     assert got == ["aaa", "bbb"]
+
+
+def test_streaming_word_topk_matches_batch(spark, tmp_path):
+    # incremental top-k: two micro-batches of docs merge into the counter
+    # store; the store's top-k equals a batch recount over ALL docs
+    src = str(tmp_path / "docs")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    from lab_flink_repository_analytics_spark.streaming import jobs
+
+    b1 = [(1, "a b a"), (2, "b c")]
+    b2 = [(3, "a d d d")]
+    spark.createDataFrame(b1, "doc_id long, text string").write.parquet(src)
+    q = jobs.word_topk_stream(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        store, ck,
+    )
+    q.awaitTermination(120)
+    spark.createDataFrame(b2, "doc_id long, text string").write.mode("append").parquet(src)
+    q = jobs.word_topk_stream(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        store, ck,
+    )
+    q.awaitTermination(120)
+    got = [(r["word"], r["cnt"]) for r in jobs.read_topk(spark, store, 3).collect()]
+    assert got == [("a", 3), ("d", 3), ("b", 2)]  # tie a/d broken by word
