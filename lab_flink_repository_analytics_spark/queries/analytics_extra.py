@@ -430,6 +430,49 @@ GROUP BY day, source
 
 
 # ---------------------------------------------------------------------------
+# Recursive CTE: month spine + gap-filled revenue (Spark 4 WITH RECURSIVE)
+
+
+_MONTH_SPINE_SQL = f"""
+WITH RECURSIVE bounds AS (
+  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+         date_trunc('month', max(o_orderdate)) AS hi
+  FROM orders
+),
+spine AS (
+  SELECT lo AS month, hi FROM bounds
+  UNION ALL
+  SELECT month + INTERVAL '1' MONTH, hi FROM spine WHERE month < hi
+),
+monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT s.month,
+       CAST(coalesce(m.n, 0) AS BIGINT) AS n_orders,
+       coalesce(m.rev, 0.0) AS revenue,
+       m.month IS NULL AS is_gap
+FROM spine s LEFT JOIN monthly m ON s.month = m.month
+"""
+
+
+def month_spine_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled monthly revenue over a RECURSIVE month spine (Spark 4
+    ``WITH RECURSIVE``, SPARK-24497): the calendar axis is generated by the
+    engine, so months with zero orders appear explicitly — the classic
+    reporting spine that a plain GROUP BY cannot produce.  The recursion
+    depth is the month count (bounded, driver-controlled); the heavy table
+    is still aggregated exactly once."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_MONTH_SPINE_SQL)
+
+
+MONTH_SPINE_SQL = _MONTH_SPINE_SQL  # DuckDB runs the identical statement
+
+
+# ---------------------------------------------------------------------------
 # Quantified CEP pattern: view → click{2,} → purchase
 
 
@@ -902,6 +945,7 @@ QUERIES = {
     "monthly_revenue_growth": monthly_revenue_growth,
     "copurchase_pagerank": copurchase_pagerank,
     "quantified_funnel": quantified_funnel,
+    "month_spine_revenue": month_spine_revenue,
 }
 
 ORACLES = {
@@ -917,6 +961,7 @@ ORACLES = {
     "monthly_revenue_growth": MONTHLY_GROWTH_SQL,
     "copurchase_pagerank": COPURCHASE_PAGERANK_SQL,
     "quantified_funnel": QUANTIFIED_FUNNEL_SQL,
+    "month_spine_revenue": MONTH_SPINE_SQL,
     "customer_revenue_quartiles": QUARTILES_SQL,
     "user_value_streaks": STREAKS_SQL,
     "copurchase_triangles": TRIANGLES_SQL,
