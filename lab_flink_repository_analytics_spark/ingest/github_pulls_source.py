@@ -32,6 +32,7 @@ from datetime import datetime
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 from lab_flink_repository_analytics_spark import schemas
+from lab_flink_repository_analytics_spark.util import parse_flexible_date
 from lab_flink_repository_analytics_spark.ingest.github import (
     API,
     PAGE_SIZE,
@@ -86,7 +87,7 @@ class GithubPullsReader(DataSourceReader):
                 self.token,
             )
         since = (
-            datetime.fromisoformat(self.since) if self.since else None
+            parse_flexible_date(self.since) if self.since else None
         )
         for api_pull in pulls or []:
             row = pull_row(api_pull)

@@ -35,6 +35,7 @@ from datetime import datetime, timedelta
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 from lab_flink_repository_analytics_spark import schemas
+from lab_flink_repository_analytics_spark.util import parse_flexible_date
 from lab_flink_repository_analytics_spark.ingest.github import (
     API,
     PAGE_SIZE,
@@ -103,8 +104,10 @@ class GithubCommitsReader(DataSourceReader):
             yield f
 
     def partitions(self):
-        d0 = datetime.fromisoformat(self.since).date()
-        d1 = datetime.fromisoformat(self.until).date()
+        # flexible forms per the reference CLI: "2024", "2024-01",
+        # "2024-01-15", "2024-01-15T06:00:00Z" (Utils.parseFlexibleDate)
+        d0 = parse_flexible_date(self.since).date()
+        d1 = parse_flexible_date(self.until).date()
         if self._pushed_lo is not None and self._pushed_lo > d0:
             d0 = self._pushed_lo
         if self._pushed_hi is not None and self._pushed_hi < d1:

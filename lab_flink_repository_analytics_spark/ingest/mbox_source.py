@@ -32,6 +32,7 @@ from datetime import datetime
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 from lab_flink_repository_analytics_spark import schemas
+from lab_flink_repository_analytics_spark.util import parse_flexible_date
 
 _FIELDS = [f.name for f in schemas.EMAIL.fields]
 # reference file naming: <list>-YYYY-MM.mbox or <list>_YYYY_MM.mbox
@@ -53,7 +54,7 @@ class MboxReader(DataSourceReader):
     def partitions(self):
         after_month = None
         if self.after:
-            d = datetime.fromisoformat(self.after)
+            d = parse_flexible_date(self.after)
             after_month = (d.year, d.month)
         parts = []
         for name in sorted(os.listdir(self.dir)):
@@ -71,7 +72,7 @@ class MboxReader(DataSourceReader):
     def read(self, partition: _MboxFile):
         from lab_flink_repository_analytics_spark.ingest.mbox import read_emails
 
-        after = datetime.fromisoformat(self.after) if self.after else None
+        after = parse_flexible_date(self.after) if self.after else None
         for row in read_emails(partition.path, after=after):
             yield tuple(row[f] for f in _FIELDS)
 

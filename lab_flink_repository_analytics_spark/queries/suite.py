@@ -564,6 +564,53 @@ GROUP BY 1
 """
 
 
+def expanded_ticket_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExpandJiraTicketComponents2 as a graded query: LEFT JOIN LATERAL
+    expansion of each email body's component list into (component,
+    componentCount) rows — a body with no components keeps its row with
+    NULLs (ref ExpandJiraTicketComponents2.java:14-40,
+    ExpandJiraTicketComponentsITCase.java:57-91) — then a per-component
+    rollup so the output is small and hash-stable at any SF."""
+    from lab_flink_repository_analytics_spark.functions.table import (
+        expand_jira_ticket_components2,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emails = _synth_jira_emails(t)
+    exploded = emails.select(
+        expand_jira_ticket_components2(F.col("textBody"), outer=True).alias("e")
+    ).select(
+        F.col("e.component").alias("component"),
+        F.col("e.componentCount").alias("cc"),
+    )
+    return exploded.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cc").alias("total_cc"),
+    )
+
+
+def _expanded_sql_components_case() -> str:
+    cases = []
+    for i, comps in enumerate(_JIRA_COMPONENT_LISTS):
+        lit = "[" + ", ".join("'" + c.replace("'", "''") + "'" for c in comps) + "]"
+        cases.append(f"WHEN {i} THEN {lit}::VARCHAR[]")
+    return "CASE (doc_id % 5) " + " ".join(cases) + " END"
+
+
+EXPANDED_TICKET_COMPONENTS_SQL = f"""
+WITH mails AS (
+  SELECT {_expanded_sql_components_case()} AS comps FROM documents
+), expanded AS (
+  -- LEFT JOIN LATERAL ON TRUE: empty list still yields one NULL row
+  SELECT unnest(CASE WHEN len(comps) = 0 THEN [NULL]::VARCHAR[] ELSE comps END) AS component,
+         CASE WHEN len(comps) = 0 THEN NULL ELSE len(comps) END AS cc
+  FROM mails
+)
+SELECT component, count(*) AS n_rows, CAST(sum(cc) AS BIGINT) AS total_cc
+FROM expanded GROUP BY component
+"""
+
+
 def aliases_company(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GetEmailAliasesAndCompany over people synthesized from events:
     per user, all email aliases + current company + company-since
@@ -2468,6 +2515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "commit_activity": commit_activity,
         "jira_tickets": jira_tickets,
         "jira_authors": jira_authors,
+        "expanded_ticket_components": expanded_ticket_components,
         "aliases_company": aliases_company,
         "obfuscated_users": obfuscated_users,
         "normalized_threads": normalized_threads,
@@ -2542,6 +2590,7 @@ def oracle_sql() -> dict[str, str]:
         "commit_activity": COMMIT_ACTIVITY_SQL,
         "jira_tickets": JIRA_TICKETS_SQL,
         "jira_authors": JIRA_AUTHORS_SQL,
+        "expanded_ticket_components": EXPANDED_TICKET_COMPONENTS_SQL,
         "aliases_company": ALIASES_COMPANY_SQL,
         "obfuscated_users": OBFUSCATED_USERS_SQL,
         "normalized_threads": NORMALIZED_THREADS_SQL,

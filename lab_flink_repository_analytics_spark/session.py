@@ -22,6 +22,7 @@ import os
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 #: Spark's disk-spilling streaming state backend — the engine analog of the
@@ -78,9 +79,6 @@ def get_spark(
         # allow Python DataSources (ingest/github_source.py) to prune
         # their input partitions from pushed filters
         .config("spark.sql.python.filterPushdown.enabled", "true")
-        # the driver's events.parquet carries TIMESTAMP(NANOS) which Spark
-        # rejects by default; read as long (ns) and convert in load_tables
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
@@ -150,22 +148,31 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
         "documents",
         "embeddings",
     ]
-    # runtime-settable; needed when the caller's session (e.g. the driver's)
-    # wasn't built by get_spark — events.ts is TIMESTAMP(NANOS) parquet
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # needed when the caller's session (e.g. the driver's) wasn't built by
+    # get_spark — the DuckDB oracle compares naive-UTC timestamps
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {}
     for name in names:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         for field in df.schema.fields:
-            # nanos timestamps arrive as LongType under nanosAsLong; restore
-            # them to proper timestamps (truncate ns → µs with integer div,
-            # matching DuckDB's own ns → µs truncation of the same files)
+            # events.ts is parquet TIMESTAMP(NANOS).  How it surfaces depends
+            # on the runtime: Spark 4.x reads it natively as TIMESTAMP_NTZ;
+            # older runtimes (or sessions with nanosAsLong) surface BIGINT ns.
+            # Normalize both to session-TZ TIMESTAMP (ns → µs truncation,
+            # matching DuckDB's ns → µs truncation of the same files).
             if field.name in _NANOS_TS_COLS.get(name, ()):
-                df = df.withColumn(
-                    field.name,
-                    F.timestamp_micros(F.expr(f"{field.name} div 1000")),
-                )
+                if isinstance(field.dataType, T.LongType):
+                    df = df.withColumn(
+                        field.name,
+                        F.timestamp_micros(F.expr(f"{field.name} div 1000")),
+                    )
+                elif isinstance(field.dataType, T.TimestampNTZType):
+                    # values are naive UTC; session TZ is UTC, so the cast
+                    # is a pure type change, no wall-clock shift
+                    df = df.withColumn(
+                        field.name, F.col(field.name).cast("timestamp")
+                    )
+                # already TimestampType: nothing to do
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

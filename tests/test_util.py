@@ -1,0 +1,49 @@
+"""parse_flexible_date — mirror of Utils.parseFlexibleDate
+(common/Utils.java:21-46) as used by FlinkCommitProgram.java:51
+(``--start-date 2021-04``) and the GithubCommitSource since-parsing."""
+
+from datetime import datetime
+
+import pytest
+
+from lab_flink_repository_analytics_spark.util import parse_flexible_date
+
+
+# the reference's DATE_OR_DATETIME_FORMATTER accepted forms, with its
+# parseDefaulting(DAY_OF_MONTH, 1) / parseDefaulting(HOUR_OF_DAY, 0)
+@pytest.mark.parametrize(
+    "s,expect",
+    [
+        ("2021-04", datetime(2021, 4, 1)),
+        ("2021-12", datetime(2021, 12, 1)),
+        ("2021-04-15", datetime(2021, 4, 15)),
+        ("2021-04-15T12:00:00Z", datetime(2021, 4, 15, 12)),
+        ("2021-04-15T23:59:59Z", datetime(2021, 4, 15, 23, 59, 59)),
+        # ISO_LOCAL_TIME: seconds optional, fraction allowed
+        ("2021-04-15T12:30Z", datetime(2021, 4, 15, 12, 30)),
+        ("2021-04-15T12:30:05.5Z", datetime(2021, 4, 15, 12, 30, 5, 500000)),
+        # parseCaseInsensitive: lowercase t/z
+        ("2021-04-15t12:00:00z", datetime(2021, 4, 15, 12)),
+        # lenient extensions (documented): bare year, no trailing Z
+        ("2021", datetime(2021, 1, 1)),
+        ("2021-04-15T12:00:00", datetime(2021, 4, 15, 12)),
+    ],
+)
+def test_accepted_forms(s, expect):
+    assert parse_flexible_date(s) == expect
+
+
+def test_empty_and_none_return_now():
+    now = datetime(2024, 6, 1, 12, 0, 0)
+    assert parse_flexible_date("", now=now) == now
+    assert parse_flexible_date(None, now=now) == now
+    # without an injected now: close to wall clock (reference uses
+    # LocalDateTime.now())
+    got = parse_flexible_date("")
+    assert abs((got - datetime.utcnow()).total_seconds()) < 60
+
+
+@pytest.mark.parametrize("bad", ["April 2021", "2021/04/15", "21-04", "x"])
+def test_rejects_garbage(bad):
+    with pytest.raises(ValueError):
+        parse_flexible_date(bad)
