@@ -102,7 +102,14 @@ def get_spark(
     return spark
 
 
-def rebalance(df, factor: int = 1):
+#: rebalance() probe memo: analyzed-plan semanticHash → decision
+#: (True = plan already shuffles / is wide enough, skip; False = narrow,
+#: repartition).  Bounded: cleared at 4096 entries (a driver builds at most
+#: a few thousand distinct query shapes per session).
+_REBALANCE_MEMO: dict[tuple[int, int], bool] = {}
+
+
+def rebalance(df, factor: int = 1, expected_splits: int | None = None):
     """Ensure at least ``defaultParallelism × factor`` partitions before a
     data-amplifying stage (explode of shingles/files, quadratic block join).
 
@@ -112,21 +119,36 @@ def rebalance(df, factor: int = 1):
     the scan already has thousands of splits, so this is a no-op there and
     the extra shuffle is never paid; it only fires when the source is
     narrower than the cluster.
+
+    ``expected_splits``: callers that KNOW their source's split count (e.g.
+    a pre-bucketed table) can pass it to skip the plan probe entirely.
+    The probe itself (physical planning + an RDD-DAG build, driver-side
+    only) is memoized on the analyzed plan's ``semanticHash`` so repeated
+    builds of the same query shape — bench loops, the driver's two-phase
+    run — pay it once.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
-    # only probe partition counts for shuffle-free plans: if the input
-    # already contains a SHUFFLE exchange, that spreads it across
-    # spark.sql.shuffle.partitions anyway — and touching .rdd on an
-    # AQE plan with exchanges would execute those stages eagerly.
-    # BroadcastExchange does NOT count: a broadcast join keeps the probe
-    # side's partitioning, so a 1-split scan stays on one core.
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    if "Exchange" in plan.replace("BroadcastExchange", ""):
-        return df
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    if expected_splits is not None:
+        return df.repartition(target) if expected_splits < target else df
+
+    key = (df._jdf.queryExecution().analyzed().semanticHash(), target)
+    hit = _REBALANCE_MEMO.get(key)
+    if hit is None:
+        # only probe partition counts for shuffle-free plans: if the input
+        # already contains a SHUFFLE exchange, that spreads it across
+        # spark.sql.shuffle.partitions anyway — and touching .rdd on an
+        # AQE plan with exchanges would execute those stages eagerly.
+        # BroadcastExchange does NOT count: a broadcast join keeps the probe
+        # side's partitioning, so a 1-split scan stays on one core.
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hit = "Exchange" in plan.replace("BroadcastExchange", "") or (
+            df.rdd.getNumPartitions() >= target
+        )
+        if len(_REBALANCE_MEMO) > 4096:
+            _REBALANCE_MEMO.clear()
+        _REBALANCE_MEMO[key] = hit
+    return df if hit else df.repartition(target)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:

@@ -84,6 +84,98 @@ def test_multiset_random_changelogs_match_simulation(spark):
     assert got == Counter({k: v for k, v in expected.items() if v > 0})
 
 
+# ---------------------------------------------------------------------------
+# RowKind EMISSION parity: replay the reference's changelog fixtures and
+# assert the emitted +I/-D/-U/+U stream itself, not just the folded state
+# (ListAggITCase112.java:70-109 asserts these exact sequences with
+# containsInAnyOrder)
+
+
+def _listagg_state(prefix):
+    """age → LISTAGG(DISTINCT name) over the net multiset of the prefix,
+    names in arrival order (Flink's accumulator appends on first add)."""
+    net = (
+        prefix.groupBy("name", "age")
+        .agg(
+            F.sum(CL._sign(F.col("kind"))).alias("_net"),
+            F.min(F.when(CL._sign(F.col("kind")) > 0, F.col("pos"))).alias("_first"),
+        )
+        .filter(F.col("_net") > 0)
+    )
+    return net.groupBy("age").agg(
+        AGG.list_agg("name", order_by="_first").alias("names")
+    )
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(rows)],
+        "pos long, kind string, name string, age int",
+    )
+
+
+def _replay(spark, rows):
+    df = _pdf(spark, rows)
+    return CL.replay_changelog(df, _listagg_state, ["age"], order_col="pos")
+
+
+def test_emission_listagg1(spark):
+    # ITCase112.testListAgg1:70-82 — duplicate insert + retract of one
+    # duplicate emit NOTHING (distinct state unchanged); only the two
+    # inserts surface
+    got = _replay(
+        spark,
+        [("+I", "john", 32), ("+I", "john", 32), ("-U", "john", 32), ("+U", "john", 33)],
+    )
+    assert sorted(got) == sorted(
+        [("+I", (32, "john")), ("+I", (33, "john"))]
+    )
+
+
+def test_emission_listagg2(spark):
+    # ITCase112.testListAgg2:85-97 — the group emptying emits a DELETE
+    got = _replay(
+        spark, [("+I", "john", 32), ("-U", "john", 32), ("+U", "john", 33)]
+    )
+    assert sorted(got) == sorted(
+        [("+I", (32, "john")), ("-D", (32, "john")), ("+I", (33, "john"))]
+    )
+
+
+def test_emission_listagg3(spark):
+    # ITCase112.testListAgg3:100-109 — second name in the same group emits
+    # an UPDATE_BEFORE/UPDATE_AFTER pair, arrival order preserved
+    got = _replay(spark, [("+I", "john", 32), ("+I", "alice", 32)])
+    assert sorted(got) == sorted(
+        [
+            ("+I", (32, "john")),
+            ("-U", (32, "john")),
+            ("+U", (32, "john,alice")),
+        ]
+    )
+
+
+def test_emission_batched_folds_intermediate_states(spark):
+    # batch_size=2: testListAgg2's first two rows land in one step whose
+    # net state is empty → nothing emitted for age 32 at all
+    df = _pdf(spark, [("+I", "john", 32), ("-U", "john", 32), ("+U", "john", 33)])
+    got = CL.replay_changelog(
+        df, _listagg_state, ["age"], order_col="pos", batch_size=2
+    )
+    assert got == [("+I", (33, "john"))]
+
+
+def test_changelog_deltas_null_safe_values(spark):
+    prev = spark.createDataFrame([(1, None), (2, "x")], "k int, v string")
+    new = spark.createDataFrame([(1, None), (2, None)], "k int, v string")
+    got = sorted(
+        (r["kind"], r["k"], r["v"])
+        for r in CL.changelog_deltas(prev, new, ["k"]).collect()
+    )
+    # k=1 unchanged (null-safe compare); k=2 value change → UB/UA pair
+    assert got == [("+U", 2, None), ("-U", 2, "x")]
+
+
 def test_upsert_last_wins_and_delete(spark):
     # primary-keyed source (LastNonNullValueAggFunctionITCase.java:88-92):
     # upserts by key f0; a trailing delete removes the key
