@@ -95,17 +95,180 @@ SELECT doc_id, term, score, CAST(rnk AS INT) AS rnk FROM (
 
 
 # ---------------------------------------------------------------------------
+# BM25 top terms per document (the ranking-function upgrade of TF-IDF)
+
+
+def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 BM25 terms per document (k1=1.2, b=0.75).
+
+    Same scale shape as :func:`tfidf_top_terms` — one corpus-size explode →
+    (doc, term) counts, then every further aggregate (df, N, avgdl) runs on
+    already-reduced tables; the per-doc top-3 is a doc-partitioned window
+    with WindowGroupLimit pushdown.  IDF uses the standard
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` form; operand order is identical
+    in the DuckDB twin so scores hash-match at round(…, 6)."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    k1, b = 1.2, 0.75
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(df_, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "score",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (
+                    (F.col("tf") * F.lit(k1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0 - b)
+                            + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+                        )
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "score", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+BM25_SQL = """
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+stats AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(
+           ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+           * ((tf.tf * 2.2)
+              / (tf.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl))),
+           6) AS score
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+          JOIN df ON tf.term = df.term
+          CROSS JOIN stats
+)
+SELECT doc_id, term, score, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Signed random projection (SRP-LSH) signatures over embeddings
+
+
+def _srp_signs(planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 projection matrix from md5 — computed driver-side
+    and inlined as literals (the broadcast-small-matrix pattern: at any
+    scale this is planes×dim constants, never data-dependent)."""
+    import hashlib
+
+    out = []
+    for j in range(planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{j}_{i}".encode()).hexdigest()[:8]
+            row.append(1 if int(h, 16) % 2 == 1 else -1)
+        out.append(row)
+    return out
+
+
+def random_projection_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit signed-random-projection signature per embedding, rolled up to
+    (signature, n_vecs, min_vec_id) buckets — the hyperplane-LSH family
+    (datapipe/similarity.py's ANN-LSH uses the same construction with
+    data-derived planes; this one is portable-deterministic for the oracle).
+
+    Scale: the projection is a ROW-LOCAL unrolled multiply-add chain over
+    the 64 array slots (whole-stage codegen, no shuffle, no UDF); the only
+    exchange is the final tiny signature rollup (≤2^8 groups).  Left-assoc
+    sum order is identical in the SQL twin → bit-exact doubles."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    dim, planes = 64, 8
+    signs = _srp_signs(planes, dim)
+    sig = F.lit(0).cast("bigint")
+    for j in range(planes):
+        term = None
+        for i in range(dim):
+            c = F.element_at("embedding", i + 1).cast("double") * F.lit(
+                float(signs[j][i])
+            )
+            term = c if term is None else term + c
+        sig = sig + F.when(term > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0))
+    return (
+        emb.select("vec_id", sig.alias("signature"))
+        .groupBy("signature")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
+def _srp_sql() -> str:
+    dim, planes = 64, 8
+    signs = _srp_signs(planes, dim)
+    projs = []
+    for j in range(planes):
+        chain = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {float(signs[j][i])}"
+            for i in range(dim)
+        )
+        projs.append(f"CASE WHEN ({chain}) > 0 THEN {2**j} ELSE 0 END")
+    sig = " + ".join(projs)
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, CAST({sig} AS BIGINT) AS signature FROM embeddings
+)
+SELECT signature, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+FROM sigs GROUP BY signature
+"""
+
+
+# ---------------------------------------------------------------------------
 # NTILE equi-depth buckets
 
 
 def customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers bucketed into revenue quartiles (NTILE(4)), summarized per
-    bucket.  The global NTILE sorts only the *aggregated* per-customer view
-    (customer-cardinality).  At 100 TB you'd swap the exact NTILE for
-    approx-quantile range boundaries (datapipe/sketches.py histograms) —
-    this is the exact form those sketches approximate.  Per-customer revenue
-    re-enters DECIMAL before the bucket sum so the total is order-independent
-    on both engines."""
+    bucket.  The NTILE is the DISTRIBUTED exact form
+    (datapipe/ranking.py::exact_ntile): range shuffle + partition-offset
+    ranks — no single-partition global window even at customer cardinality
+    ~billions.  Per-customer revenue re-enters DECIMAL before the bucket
+    sum so the total is order-independent on both engines."""
+    from lab_flink_repository_analytics_spark.datapipe.ranking import exact_ntile
+
     t = load_tables(spark, sf_dir)
     per_cust = (
         t["orders"]
@@ -116,8 +279,7 @@ def customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
-    w = Window.orderBy("revenue", "o_custkey")
-    bucketed = per_cust.withColumn("quartile", F.ntile(4).over(w).cast("int"))
+    bucketed = exact_ntile(per_cust, 4, ["revenue", "o_custkey"], out_col="quartile")
     return bucketed.groupBy("quartile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(F.expr(f"CAST(revenue AS {DEC})")).cast("double").alias("total_revenue"),
@@ -930,6 +1092,8 @@ def ffd_packing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
+    "bm25_top_terms": bm25_top_terms,
+    "random_projection_sketch": random_projection_sketch,
     "ffd_packing_summary": ffd_packing_summary,
     "customer_skyline": customer_skyline,
     "dq_checks": dq_checks,
@@ -950,6 +1114,8 @@ QUERIES = {
 
 ORACLES = {
     "tfidf_top_terms": TFIDF_SQL,
+    "bm25_top_terms": BM25_SQL,
+    "random_projection_sketch": _srp_sql(),
     "customer_skyline": SKYLINE_SQL,
     "dq_checks": DQ_CHECKS_SQL,
     "event_gap_stats": EVENT_GAP_SQL,
