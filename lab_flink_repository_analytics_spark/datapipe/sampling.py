@@ -88,3 +88,47 @@ def weighted_sample(
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     keep = split_bucket(id_col) < (w * F.lit(SPLIT_BUCKETS))
     return df.filter(keep)
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    target_shares: Mapping[str, float],
+) -> DataFrame:
+    """Downsample each group so the SURVIVING corpus approaches the target
+    mixture proportions — the data-mixing step of an LLM training pipeline
+    (e.g. "the blend should be 50% web, 30% code, 20% books").
+
+    Construction: the bottleneck group is the one whose available mass is
+    smallest relative to its target share; it is kept whole, and every
+    other group is thinned to ``target_share × total_kept`` rows via the
+    stable id-hash (no RNG, reshard-safe).  Groups missing from
+    ``target_shares`` are dropped.
+
+    Cost: ONE count aggregation over ``group_col`` (collected —
+    #groups-sized driver state, like every quota computation) + one
+    hash-filter scan.  No data shuffle.
+    """
+    counts = {
+        r["g"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    groups = [g for g in counts if g in target_shares and target_shares[g] > 0]
+    if not groups:
+        return df.filter(F.lit(False))
+    # total kept is limited by the scarcest group: total ≤ n_g / share_g
+    total_kept = min(counts[g] / target_shares[g] for g in groups)
+    rate_when = None
+    for g in groups:
+        rate = min(1.0, (target_shares[g] * total_kept) / counts[g])
+        cond = F.col(group_col) == F.lit(g)
+        rate_when = (
+            F.when(cond, F.lit(rate))
+            if rate_when is None
+            else rate_when.when(cond, F.lit(rate))
+        )
+    rate_col = rate_when.otherwise(F.lit(0.0))
+    return df.filter(split_bucket(id_col) < (rate_col * F.lit(SPLIT_BUCKETS)))

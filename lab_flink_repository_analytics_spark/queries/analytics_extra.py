@@ -257,6 +257,55 @@ FROM sigs GROUP BY signature
 
 
 # ---------------------------------------------------------------------------
+# Deterministic mixture sampling (LLM data-mixing quota)
+
+#: target language blend for the mixture-sampling query — double-precision
+#: literals, identical in the SQL twin
+MIXTURE_SHARES = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}
+
+
+def mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving rows per language after mixing `documents` to the
+    MIXTURE_SHARES blend (datapipe/sampling.py::mixture_sample): the
+    bottleneck language is kept whole, everything else thins via the
+    stable md5 id-hash.  Two scans (quota count + filter), no shuffle of
+    data rows, #groups driver state — the reshard-safe form of the
+    data-mixing step every LLM pipeline runs."""
+    from lab_flink_repository_analytics_spark.datapipe.sampling import (
+        mixture_sample,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    kept = mixture_sample(docs, "doc_id", "lang", MIXTURE_SHARES)
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("kept"))
+
+
+def _mixture_sql() -> str:
+    shares = ", ".join(
+        f"('{g}', CAST({s!r} AS DOUBLE))" for g, s in MIXTURE_SHARES.items()
+    )
+    return f"""
+WITH shares(g, share) AS (VALUES {shares}),
+counts AS (
+  SELECT lang AS g, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT min(n / share) AS total_kept FROM counts JOIN shares USING (g)
+),
+rates AS (
+  SELECT g, least(CAST(1.0 AS DOUBLE), (share * total_kept) / n) AS rate
+  FROM counts JOIN shares USING (g) CROSS JOIN tot
+),
+kept AS (
+  SELECT d.lang FROM documents d JOIN rates r ON d.lang = r.g
+  WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000)
+        < r.rate * 10000
+)
+SELECT lang, count(*) AS kept FROM kept GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # NTILE equi-depth buckets
 
 
@@ -1094,6 +1143,7 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_top_terms": bm25_top_terms,
     "random_projection_sketch": random_projection_sketch,
+    "mixture_sample_counts": mixture_sample_counts,
     "ffd_packing_summary": ffd_packing_summary,
     "customer_skyline": customer_skyline,
     "dq_checks": dq_checks,
@@ -1116,6 +1166,7 @@ ORACLES = {
     "tfidf_top_terms": TFIDF_SQL,
     "bm25_top_terms": BM25_SQL,
     "random_projection_sketch": _srp_sql(),
+    "mixture_sample_counts": _mixture_sql(),
     "customer_skyline": SKYLINE_SQL,
     "dq_checks": DQ_CHECKS_SQL,
     "event_gap_stats": EVENT_GAP_SQL,

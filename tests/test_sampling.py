@@ -84,3 +84,28 @@ def test_weighted_sample_bounds_and_determinism(spark):
     assert 0.4 < frac < 0.6  # hash buckets ≈ Bernoulli(0.5)
     # determinism: re-evaluation returns the identical membership
     assert {r["doc_id"] for r in kept.collect()} == got
+
+
+def test_mixture_sample_targets_and_bottleneck(spark):
+    from pyspark.sql import functions as F
+
+    # 6000 a / 3000 b / 1000 c, target blend 50/25/25 → c is the
+    # bottleneck (1000/0.25 = 4000 kept total): c whole, a→2000, b→1000
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 6000, "a")
+        .when(F.col("id") < 9000, "b")
+        .otherwise("c")
+        .alias("g"),
+    )
+    kept = sampling.mixture_sample(df, "doc_id", "g", {"a": 0.5, "b": 0.25, "c": 0.25})
+    counts = {r["g"]: r["n"] for r in kept.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["c"] == 1000  # bottleneck kept whole
+    assert abs(counts["a"] - 2000) < 200  # hash-thinned to target
+    assert abs(counts["b"] - 1000) < 150
+    # groups without a share are dropped entirely
+    kept2 = sampling.mixture_sample(df, "doc_id", "g", {"a": 1.0})
+    assert {r["g"] for r in kept2.select("g").distinct().collect()} == {"a"}
+    # determinism: same membership on re-evaluation
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert {r["doc_id"] for r in kept.collect()} == ids
