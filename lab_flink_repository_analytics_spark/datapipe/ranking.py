@@ -73,6 +73,64 @@ def with_global_row_number(
     return out, total
 
 
+def with_global_running_max(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "running_max",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive prefix maximum over a global ordering —
+    ``max(value) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING TO -1)``
+    without the single-partition window.
+
+    Same construction as :func:`with_global_row_number`: range shuffle,
+    per-partition window, and a #partitions-sized driver collect of each
+    partition's total max, prefix-combined into a per-partition carry-in.
+    Rows with no strictly-earlier row get NULL (matching the window form).
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(num_partitions, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    # per-partition total max — tiny collect, one row per partition
+    part_max = {
+        r["__pid"]: r["m"]
+        for r in ranged.groupBy("__pid").agg(F.max(value_col).alias("m")).collect()
+    }
+    carry, run = {}, None
+    for pid in sorted(part_max):
+        carry[pid] = run  # max over all EARLIER partitions
+        m = part_max[pid]
+        if m is not None and (run is None or m > run):
+            run = m
+    entries = [
+        x
+        for pid in sorted(carry)
+        if carry[pid] is not None
+        for x in (F.lit(pid), F.lit(carry[pid]))
+    ]
+    # try_element_at: leading partitions have no carry-in (absent key →
+    # NULL, where plain element_at would throw under ANSI)
+    carry_expr = (
+        F.try_element_at(F.create_map(*entries), F.col("__pid"))
+        if entries
+        else F.lit(None).cast(df.schema[value_col].dataType)
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.max(value_col).over(w)
+    # greatest() skips NULLs, so carry-in NULL + local NULL → NULL
+    return ranged.withColumn(out_col, F.greatest(local, carry_expr)).drop("__pid")
+
+
 def exact_ntile(
     df: DataFrame,
     n_buckets: int,

@@ -995,8 +995,11 @@ def customer_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the DuckDB oracle runs exactly that); here it's the sort-scan skyline —
     collapse ties per acctbal, order by acctbal desc, and a point survives
     iff its revenue exceeds the running max over all *strictly higher*
-    acctbals (one window over the aggregated per-customer view, then a
-    semi-join back to recover per-customer rows).  O(n log n) vs O(n²)."""
+    acctbals.  The running max is the DISTRIBUTED exclusive-prefix form
+    (datapipe/ranking.py::with_global_running_max — range shuffle +
+    per-partition carry-in, no single-partition window even though the
+    distinct-acctbal table is domain-bounded), then a broadcast join back
+    recovers per-customer rows.  O(n log n) vs O(n²)."""
     t = load_tables(spark, sf_dir)
     per_cust = (
         t["customer"]
@@ -1008,16 +1011,18 @@ def customer_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+    from lab_flink_repository_analytics_spark.datapipe.ranking import (
+        with_global_running_max,
+    )
+
     # one representative (max revenue) per distinct acctbal value
     per_bal = per_cust.groupBy("c_acctbal").agg(F.max("revenue").alias("best_rev"))
-    w = (
-        Window.orderBy(F.col("c_acctbal").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     # dominated iff some strictly-higher acctbal has strictly higher
     # revenue — so a point TYING the running max still survives (>=)
     frontier_bal = (
-        per_bal.withColumn("max_above", F.max("best_rev").over(w))
+        with_global_running_max(
+            per_bal, [F.col("c_acctbal").desc()], "best_rev", out_col="max_above"
+        )
         .filter(F.col("max_above").isNull() | (F.col("best_rev") >= F.col("max_above")))
         .select("c_acctbal", "max_above")
     )

@@ -49,3 +49,18 @@ def test_no_single_partition_exchange_in_plan(spark):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
     assert "rangepartitioning" in plan.lower() or "RangePartitioning" in plan
+
+
+def test_global_running_max_matches_window(spark):
+    df = _df(spark, 400)
+    got = R.with_global_running_max(
+        df, [F.col("k").desc(), F.col("id").desc()], "v", out_col="rm"
+    )
+    w = (
+        Window.orderBy(F.col("k").desc(), F.col("id").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = df.withColumn("rm", F.max("v").over(w))
+    g = {r["id"]: r["rm"] for r in got.collect()}
+    e = {r["id"]: r["rm"] for r in want.collect()}
+    assert g == e  # incl. NULL for the globally-first row
