@@ -1,0 +1,96 @@
+"""Suite-wide physical-plan audit — every graded query, every round.
+
+Pins the absence of the plan shapes that kill a 100 TB run, so a future
+query (or a Spark version bump changing planner behavior) can't silently
+reintroduce one:
+
+* ``CartesianProduct`` — never acceptable;
+* ``BroadcastNestedLoopJoin`` — acceptable ONLY for the one-row scalar
+  broadcast pattern (``crossJoin(broadcast(<global agg>))`` — N, avgdl,
+  thresholds, the ANN query set); anything else is an unkeyed join;
+* ``Exchange SinglePartition`` — acceptable ONLY for queries whose final
+  output is a single (or bounded) row set reduced by partial aggregation
+  first, or whose windowed input is domain-bounded (documented per entry).
+
+If an addition legitimately needs one of these, it must be added to the
+whitelist here WITH the justification.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lab_flink_repository_analytics_spark.queries import suite
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: queries allowed a BroadcastNestedLoopJoin — all are crossJoin against a
+#: broadcast ONE-ROW aggregate (scalar-subquery pattern); the loop side is
+#: a single row, so "nested loop" degenerates to a map-side constant join
+BNLJ_OK = {
+    "ann_cosine_topk",  # broadcast query set (bounded, ≪ corpus)
+    "ann_ivf_topk",  # broadcast probe set + centroids
+    "q22_idle_accounts",  # broadcast scalar avg(acctbal)
+    "tfidf_top_terms",  # broadcast scalar N
+    "bm25_top_terms",  # broadcast scalar (N, avgdl)
+    "dq_checks",  # broadcast scalar totals per rule
+    "copurchase_triangles",  # broadcast scalar wedge/triangle counts
+}
+
+#: queries allowed an Exchange SinglePartition — every one is a
+#: partial-agg-first scalar/bounded reduction (rows reaching the single
+#: partition = #map partitions, not data), or a domain-bounded window
+SINGLE_PARTITION_OK = {
+    "funnel_sequence",  # final scalar funnel counts
+    "q6_forecast_revenue",  # scalar revenue sum
+    "q14_promo_revenue",  # scalar promo ratio
+    "q15_top_supplier",  # scalar max over per-supplier aggregate
+    "q19_bracket_revenue",  # scalar bracket revenue
+    "q22_idle_accounts",  # scalar avg + bounded country groups
+    "tfidf_top_terms",  # scalar N
+    "bm25_top_terms",  # scalar (N, avgdl)
+    "dq_checks",  # fixed 4-rule summary rows
+    "copurchase_triangles",  # scalar triangle/wedge/edge counts
+    "monthly_revenue_growth",  # month-cardinality window (bounded ~100s)
+    "mixture_sample_counts",  # #groups quota rows
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name, fn in suite.queries().items():
+        out[name] = (
+            fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        )
+    return out
+
+
+def test_no_cartesian_products(plans):
+    bad = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not bad, f"cartesian product in: {bad}"
+
+
+def test_nested_loop_joins_only_scalar_broadcasts(plans):
+    bad = [
+        n
+        for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in BNLJ_OK
+    ]
+    assert not bad, (
+        f"unexpected BroadcastNestedLoopJoin in: {bad} — keyed equi-join or "
+        "whitelist with justification"
+    )
+
+
+def test_single_partition_only_bounded_reductions(plans):
+    bad = [
+        n
+        for n, p in plans.items()
+        if "SinglePartition" in p and n not in SINGLE_PARTITION_OK
+    ]
+    assert not bad, (
+        f"unexpected SinglePartition exchange in: {bad} — data-scale rows "
+        "on one partition; distribute (datapipe/ranking.py) or whitelist "
+        "with justification"
+    )
