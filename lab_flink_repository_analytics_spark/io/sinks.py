@@ -59,6 +59,53 @@ def upsert_by_key(
     _rm(spark, tmp)
 
 
+def apply_changelog(
+    spark: SparkSession,
+    deltas: DataFrame,
+    path: str,
+    key_cols: list[str],
+    kind_col: str = "kind",
+) -> None:
+    """Incremental materialized-view maintenance: apply a RowKind delta
+    stream (``changelog.changelog_deltas`` output — +I/-D/-U/+U rows) to a
+    keyed parquet dataset.
+
+    +I/+U upsert their row; -D removes the key; -U (update-before) carries
+    no new state and is skipped.  Re-applying the same delta batch
+    converges (idempotent like :func:`upsert_by_key`), so this is the
+    at-scale refresh path for window summaries: diff yesterday's
+    materialization against today's (one full-outer join) and rewrite only
+    through the delta set instead of recomputing consumers downstream.
+    Delta/Iceberg ``MERGE WHEN MATCHED [AND kind='-D'] THEN DELETE`` is the
+    transactional equivalent.
+    """
+    kc = F.col(kind_col)
+    ups = deltas.filter(kc.isin("+I", "+U")).drop(kind_col)
+    dels = deltas.filter(kc == "-D").select(*key_cols).distinct()
+    if _exists(spark, path):
+        existing = spark.read.parquet(path)
+        survivors = existing.join(dels, on=list(key_cols), how="left_anti")
+        merged = survivors.withColumn("_is_update", F.lit(0)).unionByName(
+            ups.withColumn("_is_update", F.lit(1))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+            F.col("_is_update").desc()
+        )
+        result = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_is_update")
+        )
+    else:
+        result = ups
+    tmp = path.rstrip("/") + "._tmp"
+    result.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    _rm(spark, tmp)
+
+
 def _hadoop_fs(spark: SparkSession, path: str):
     """(FileSystem, Path) for any Hadoop-supported scheme (file/hdfs/s3a/…).
 

@@ -67,17 +67,39 @@ def unanswered_threads(
     )
 
 
+def _early_return_prefix(arr: Column) -> Column:
+    """The reference ComponentExtractor's quirk, faithfully: iteration over
+    a commit's files ``return``s (not ``continue``s) on the first filename
+    with no component (ComponentExtractor.java:41-45), so only the array
+    prefix BEFORE the first unmatched file is ever emitted.  Pure
+    expression: probe each file, cut at the first miss."""
+    from lab_flink_repository_analytics_spark.functions.scalar import (
+        get_source_component,
+    )
+
+    matched = F.transform(
+        arr, lambda f: get_source_component(f["filename"]).isNotNull()
+    )
+    cut = F.array_position(matched, F.lit(False))  # 1-based; 0 = all match
+    return F.when(cut > 0, F.slice(arr, 1, (cut - 1).cast("int"))).otherwise(arr)
+
+
 def commit_activity_per_component(
-    commits: DataFrame, window: str = "30 days", min_lines: int = 1000
+    commits: DataFrame,
+    window: str = "30 days",
+    min_lines: int = 1000,
+    early_return: bool = False,
 ) -> DataFrame:
     """Lines changed per component per tumbling window — the flagship.
 
     ref README.md:242-251 (CROSS JOIN UNNEST(filesChanged), GROUP BY
     TUMBLE 30 days × GetSourceComponent(filename), HAVING SUM > 1000);
     identical semantics to the hand-built DataStream pipeline
-    (FlinkCommitProgram.java:70-87) modulo its early-return quirk
-    (ComponentExtractor.java:41-45) — per-file semantics chosen as
-    canonical per SURVEY.md §7 hard-part 5.
+    (FlinkCommitProgram.java:70-87).  Default is per-file semantics
+    (canonical per SURVEY.md §7 hard-part 5); ``early_return=True``
+    replicates the DataStream pipeline's quirk bit-for-bit
+    (ComponentExtractor.java:41-45 aborts the whole commit's remaining
+    files at the first unmatched filename).
 
     Plan shape at scale: explode is pipelined (no shuffle), the single
     shuffle is the window×component aggregation with map-side partial sum;
@@ -86,7 +108,12 @@ def commit_activity_per_component(
     """
     from lab_flink_repository_analytics_spark.session import rebalance
 
-    f = F.explode("filesChanged").alias("f")
+    files = (
+        _early_return_prefix(F.col("filesChanged"))
+        if early_return
+        else F.col("filesChanged")
+    )
+    f = F.explode(files).alias("f")
     w = F.window("commitDate", window)
     return (
         rebalance(commits).select(w.alias("w"), f)

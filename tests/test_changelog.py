@@ -208,3 +208,27 @@ def test_upsert_then_last_non_null_agg(spark):
         AGG.last_non_null_value_agg("v", "f0").alias("last_v")
     ).collect()[0]
     assert agg["last_v"] == "b"
+
+
+def test_apply_changelog_incremental_view(spark, tmp_path):
+    # end-to-end incremental materialized view: replay the ITCase-2 input
+    # step by step, apply each step's RowKind deltas to a parquet view,
+    # and land on exactly the final state (ListAggITCase112.java:85-97)
+    from lab_flink_repository_analytics_spark.io import sinks
+
+    path = str(tmp_path / "mv")
+    df = _pdf(spark, [("+I", "john", 32), ("-U", "john", 32), ("+U", "john", 33)])
+    prev = None
+    for end in [0, 1, 2]:
+        cur = _listagg_state(df.filter(F.col("pos") <= end)).localCheckpoint(eager=True)
+        deltas = CL.changelog_deltas(prev, cur, ["age"])
+        sinks.apply_changelog(spark, deltas, path, ["age"])
+        prev = cur
+    got = {(r["age"], r["names"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(33, "john")}
+    # idempotent: re-applying the LAST delta batch changes nothing
+    deltas = CL.changelog_deltas(prev, prev, ["age"])
+    sinks.apply_changelog(spark, deltas, path, ["age"])
+    assert {(r["age"], r["names"]) for r in spark.read.parquet(path).collect()} == {
+        (33, "john")
+    }

@@ -102,3 +102,29 @@ def test_commit_activity_window_bounds(spark):
     # floor(18628/30)*30 = 18600 → window starts 2020-12-04
     assert out["window_start"] == datetime(2020, 12, 4)
     assert out["window_end"] == datetime(2021, 1, 3)
+
+
+def test_commit_activity_early_return_quirk(spark):
+    # ComponentExtractor.java:41-45: the DataStream pipeline RETURNS (not
+    # continues) on the first unmatched filename — files after it are lost.
+    # Per-file (default/SQL) semantics count every matched file.
+    f = lambda name, lines: (name, 0, lines, 0)  # noqa: E731
+    rows = [
+        _commit(
+            datetime(2021, 1, 1),
+            [
+                f("flink-core/src/main/A.java", 1500),
+                f("LICENSE", 5000),  # no component → quirk aborts here
+                f("flink-runtime/src/main/B.java", 2000),  # lost in quirk mode
+            ],
+        ),
+    ]
+    df = spark.createDataFrame(rows, schemas.COMMIT)
+    faithful = CQ.commit_activity_per_component(
+        df, min_lines=0, early_return=True
+    ).collect()
+    got = {r["component"]: r["lines_changed"] for r in faithful}
+    assert got == {"flink-core": 1500}  # only the pre-abort prefix survives
+    per_file = CQ.commit_activity_per_component(df, min_lines=0).collect()
+    got2 = {r["component"]: r["lines_changed"] for r in per_file}
+    assert got2 == {"flink-core": 1500, "flink-runtime": 2000, None: 5000}
