@@ -209,25 +209,42 @@ def random_projection_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (datapipe/similarity.py's ANN-LSH uses the same construction with
     data-derived planes; this one is portable-deterministic for the oracle).
 
-    Scale: the projection is a ROW-LOCAL unrolled multiply-add chain over
-    the 64 array slots (whole-stage codegen, no shuffle, no UDF); the only
-    exchange is the final tiny signature rollup (≤2^8 groups).  Left-assoc
-    sum order is identical in the SQL twin → bit-exact doubles."""
+    Scale: the projection is ROW-LOCAL — a ±1 literal matrix (planes×dim)
+    dotted against the embedding via ``zip_with`` + a left-assoc
+    ``aggregate`` fold (no shuffle, no UDF; an unrolled 8×64 expression
+    chain gives the identical result but costs ~3s of codegen compile and
+    a 1 MB task binary, so the higher-order-function form wins); the only
+    exchange is the final tiny signature rollup (≤2^8 groups).  The fold's
+    i-ascending sum order matches the SQL twin's left-assoc chain →
+    bit-exact doubles."""
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
     dim, planes = 64, 8
     signs = _srp_signs(planes, dim)
-    sig = F.lit(0).cast("bigint")
+    matrix = F.array(*[F.array(*[F.lit(float(s)) for s in row]) for row in signs])
+    projs = F.transform(
+        F.sequence(F.lit(1), F.lit(planes)),
+        lambda j: F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.element_at(matrix, j),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    sig = None
     for j in range(planes):
-        term = None
-        for i in range(dim):
-            c = F.element_at("embedding", i + 1).cast("double") * F.lit(
-                float(signs[j][i])
-            )
-            term = c if term is None else term + c
-        sig = sig + F.when(term > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0))
+        term = (
+            F.when(F.element_at(F.col("_projs"), j + 1) > 0, F.lit(2**j))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        )
+        sig = term if sig is None else sig + term
     return (
-        emb.select("vec_id", sig.alias("signature"))
+        emb.select("vec_id", projs.alias("_projs"))
+        .select("vec_id", sig.alias("signature"))
         .groupBy("signature")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),

@@ -88,7 +88,9 @@ def test_multiset_random_changelogs_match_simulation(spark):
 # RowKind EMISSION parity: replay the reference's changelog fixtures and
 # assert the emitted +I/-D/-U/+U stream itself, not just the folded state
 # (ListAggITCase112.java:70-109 asserts these exact sequences with
-# containsInAnyOrder)
+# containsInAnyOrder; ListAggITCase113.java:56-103 replays the SAME
+# fixtures through the 1.13 from/toChangelogStream API — one emission
+# test covers both)
 
 
 def _listagg_state(prefix):
