@@ -299,3 +299,54 @@ def group_centroids(
         ).alias("centroid"),
         F.max("n").alias("n_vectors"),
     )
+
+
+def int8_quantize(
+    vec: Column | str, scale_out: bool = True
+) -> Column:
+    """Per-vector symmetric int8 scalar quantization — the 4× storage cut
+    every large-scale embedding store applies before ANN serving.
+
+    ``scale = max(|v_i|) / 127``; ``q_i = floor(v_i/scale + 0.5)`` (explicit
+    half-up — ``round()`` library semantics differ between engines, the
+    floor form is bit-identical everywhere).  All-zero vectors quantize to
+    zeros with scale 0.  Returns a struct ``(q: array<int>, scale:
+    double)`` (or just the array with ``scale_out=False``); dequantize is
+    ``q_i * scale``.  Row-local — no shuffle, no UDF.
+    """
+    v = _c(vec)
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = absmax / F.lit(127.0)
+    q = F.transform(
+        v,
+        lambda x: F.when(scale == 0, F.lit(0))
+        .otherwise(F.floor(x.cast("double") / scale + F.lit(0.5)))
+        .cast("int"),
+    )
+    if not scale_out:
+        return q
+    return F.struct(q.alias("q"), scale.alias("scale"))
+
+
+def quantization_error(vec: Column | str, quant: Column) -> Column:
+    """Mean absolute reconstruction error of :func:`int8_quantize` output —
+    exact-DECIMAL summed (order-independent across partitions) so grouped
+    averages hash-match any engine."""
+    v = _c(vec)
+    diffs = F.zip_with(
+        v,
+        quant["q"],
+        lambda x, qi: F.abs(x.cast("double") - qi.cast("double") * quant["scale"]).cast(
+            "decimal(18,12)"
+        ),
+    )
+    return (
+        F.aggregate(
+            diffs,
+            F.lit(0).cast("decimal(28,12)"),
+            # re-cast each step: decimal addition widens the type, and the
+            # fold's merge must return the zero's type
+            lambda acc, d: (acc + d).cast("decimal(28,12)"),
+        ).cast("double")
+        / F.size(v)
+    )

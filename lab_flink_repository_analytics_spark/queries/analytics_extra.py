@@ -274,6 +274,60 @@ FROM sigs GROUP BY signature
 
 
 # ---------------------------------------------------------------------------
+# int8 embedding quantization quality rollup
+
+
+def quantization_error_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean absolute int8-quantization reconstruction error per label
+    (datapipe/similarity.py::int8_quantize / quantization_error) — the
+    quality gate run before swapping an embedding store to int8.
+
+    Row-local quantize + per-row exact-DECIMAL error, one label rollup
+    (exact DECIMAL sum → order-independent), scores rounded to 6."""
+    from lab_flink_repository_analytics_spark.datapipe.similarity import (
+        int8_quantize,
+        quantization_error,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    quant = emb.select(
+        "vec_id", "label", quantization_error(
+            "embedding", int8_quantize("embedding")
+        ).alias("mae")
+    )
+    return quant.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.col("mae").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_mae"),
+    )
+
+
+QUANTIZATION_ERROR_SQL = """
+WITH quant AS (
+  SELECT label, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings
+), err AS (
+  SELECT label,
+         CASE WHEN scale = 0 THEN 0.0 ELSE
+           CAST(list_sum(list_transform(embedding, x ->
+             CAST(abs(CAST(x AS DOUBLE)
+                      - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale)
+                  AS DECIMAL(18,12))))
+                AS DOUBLE) / len(embedding)
+         END AS mae
+  FROM quant
+)
+SELECT label, count(*) AS n_vecs,
+       round(CAST(sum(CAST(mae AS DECIMAL(18,12))) AS DOUBLE) / count(*), 6) AS avg_mae
+FROM err GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
 # Deterministic mixture sampling (LLM data-mixing quota)
 
 #: target language blend for the mixture-sampling query — double-precision
@@ -1166,6 +1220,7 @@ QUERIES = {
     "bm25_top_terms": bm25_top_terms,
     "random_projection_sketch": random_projection_sketch,
     "mixture_sample_counts": mixture_sample_counts,
+    "quantization_error_by_label": quantization_error_by_label,
     "ffd_packing_summary": ffd_packing_summary,
     "customer_skyline": customer_skyline,
     "dq_checks": dq_checks,
@@ -1189,6 +1244,7 @@ ORACLES = {
     "bm25_top_terms": BM25_SQL,
     "random_projection_sketch": _srp_sql(),
     "mixture_sample_counts": _mixture_sql(),
+    "quantization_error_by_label": QUANTIZATION_ERROR_SQL,
     "customer_skyline": SKYLINE_SQL,
     "dq_checks": DQ_CHECKS_SQL,
     "event_gap_stats": EVENT_GAP_SQL,

@@ -340,3 +340,30 @@ def test_chunk_documents_windows_and_overlap(spark):
     ]
     # consecutive chunks share exactly `overlap` tokens
     assert out[0][3].split()[-1:] == out[1][3].split()[:1]
+
+
+def test_int8_quantize_roundtrip_and_zero(spark):
+    from pyspark.sql import functions as F
+
+    from lab_flink_repository_analytics_spark.datapipe import similarity as S
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 127.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "id int, v array<float>",
+    )
+    out = df.select(
+        "id",
+        S.int8_quantize("v").alias("qz"),
+        S.quantization_error("v", S.int8_quantize("v")).alias("mae"),
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    q1 = by_id[1]["qz"]["q"]
+    # int8 domain, max element hits exactly ±127
+    assert max(map(abs, q1)) == 127
+    assert all(-128 <= x <= 127 for x in q1)
+    # reconstruction error bounded by scale/2 per element
+    assert by_id[1]["mae"] <= by_id[1]["qz"]["scale"] / 2 + 1e-12
+    # all-zero vector: zero quants, zero scale, zero error
+    assert by_id[2]["qz"]["q"] == [0, 0, 0, 0]
+    assert by_id[2]["qz"]["scale"] == 0.0
+    assert by_id[2]["mae"] == 0.0
