@@ -246,3 +246,56 @@ def interval_count(
     return pairs.groupBy(*[F.col(c) for c in left.columns]).agg(
         F.count(F.col("__rt")).alias(count_alias)
     )
+
+
+def scd2_intervals(
+    dim: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Materialize a slowly-changing-dimension (SCD type 2) table from a
+    per-key change stream: each version row gains ``[valid_from,
+    valid_to)`` with ``valid_to = next version's timestamp`` (NULL = still
+    current).  The Flink analog is the versioned table behind ``FOR
+    SYSTEM_TIME AS OF`` temporal joins; the batch artifact is the standard
+    warehouse SCD2 dimension.
+
+    One key-partitioned window (lead) — no global sort, no shuffle beyond
+    the key exchange.  Joining facts then needs only an equi-join on the
+    key plus the range residual (see :func:`temporal_join`), or
+    :func:`asof_join` when the dimension never deletes.
+    """
+    keys = [F.col(k) for k in key_cols]
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col))
+    return dim.withColumn(valid_from, F.col(ts_col)).withColumn(
+        valid_to, F.lead(ts_col).over(w)
+    )
+
+
+def temporal_join(
+    facts: DataFrame,
+    dim_scd2: DataFrame,
+    on: str | Sequence[str],
+    fact_time: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Join each fact row to the dimension version valid at its event time
+    (``FOR SYSTEM_TIME AS OF fact.ts``): equi-join on the key + the
+    validity-range residual ``valid_from <= t < coalesce(valid_to, ∞)``.
+    Inner semantics — facts before the key's first version (or with no
+    key) drop out; use :func:`asof_join` for the left-preserving variant.
+
+    By construction a fact matches AT MOST ONE version (intervals per key
+    are disjoint), so no dedup pass.  The join is keyed — one hash
+    exchange per side; per-key amplification is the key's version count
+    (bounded by change frequency, not data volume).
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    t = F.col(fact_time)
+    cond = (t >= F.col(valid_from)) & (
+        F.col(valid_to).isNull() | (t < F.col(valid_to))
+    )
+    return facts.join(dim_scd2, on=on, how="inner").filter(cond)

@@ -274,6 +274,63 @@ FROM sigs GROUP BY signature
 
 
 # ---------------------------------------------------------------------------
+# SCD2 / temporal (FOR SYSTEM_TIME AS OF) join
+
+
+def scd2_purchase_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per user *segment valid at purchase time*: signup events
+    version each user's segment (an SCD2 dimension via
+    datapipe/joins.py::scd2_intervals — one key-partitioned lead window);
+    purchases temporal-join the version whose ``[valid_from, valid_to)``
+    covers their timestamp (Flink ``FOR SYSTEM_TIME AS OF`` semantics,
+    ``temporal_join``).  Keyed equi-join + residual — never a nested
+    loop; version count per user bounds the amplification."""
+    from lab_flink_repository_analytics_spark.datapipe.joins import (
+        scd2_intervals,
+        temporal_join,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"]
+    dim = scd2_intervals(
+        ev.filter(F.col("event_type") == "signup").select(
+            "user_id",
+            "ts",
+            F.floor(F.col("value") / 100).cast("int").alias("segment"),
+        ),
+        ["user_id"],
+        "ts",
+    ).select("user_id", "segment", "valid_from", "valid_to")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    joined = temporal_join(facts, dim, "user_id", fact_time="p_ts")
+    return joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.expr(f"CAST(value AS {DEC})")).cast("double").alias("revenue"),
+    )
+
+
+SCD2_PURCHASE_SEGMENTS_SQL = f"""
+WITH dim AS (
+  SELECT user_id, CAST(floor(value / 100) AS INT) AS segment,
+         ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+  FROM events WHERE event_type = 'signup'
+), joined AS (
+  SELECT d.segment, f.value
+  FROM events f JOIN dim d
+    ON f.user_id = d.user_id
+   AND f.ts >= d.valid_from
+   AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+  WHERE f.event_type = 'purchase'
+)
+SELECT segment, count(*) AS n_purchases,
+       CAST(sum(CAST(value AS {DEC})) AS DOUBLE) AS revenue
+FROM joined GROUP BY segment
+"""
+
+
+# ---------------------------------------------------------------------------
 # int8 embedding quantization quality rollup
 
 
@@ -1221,6 +1278,7 @@ QUERIES = {
     "random_projection_sketch": random_projection_sketch,
     "mixture_sample_counts": mixture_sample_counts,
     "quantization_error_by_label": quantization_error_by_label,
+    "scd2_purchase_segments": scd2_purchase_segments,
     "ffd_packing_summary": ffd_packing_summary,
     "customer_skyline": customer_skyline,
     "dq_checks": dq_checks,
@@ -1245,6 +1303,7 @@ ORACLES = {
     "random_projection_sketch": _srp_sql(),
     "mixture_sample_counts": _mixture_sql(),
     "quantization_error_by_label": QUANTIZATION_ERROR_SQL,
+    "scd2_purchase_segments": SCD2_PURCHASE_SEGMENTS_SQL,
     "customer_skyline": SKYLINE_SQL,
     "dq_checks": DQ_CHECKS_SQL,
     "event_gap_stats": EVENT_GAP_SQL,

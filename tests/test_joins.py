@@ -200,3 +200,35 @@ def test_asof_forward_tolerance(spark):
     got = {(r["k"], r["ts"]): r["r_quote"] for r in out.collect()}
     assert got[(3, dt(2024, 1, 1, 9, 0, 0))] is None  # 3h away > 60s
     assert got[(1, dt(2024, 1, 1, 10, 5, 0))] == 100.9  # 0s
+
+
+def test_scd2_intervals_and_temporal_join(spark):
+    from datetime import datetime
+
+    from lab_flink_repository_analytics_spark.datapipe.joins import (
+        scd2_intervals,
+        temporal_join,
+    )
+
+    d = lambda day: datetime(2024, 1, day)  # noqa: E731
+    changes = spark.createDataFrame(
+        [(1, d(1), "bronze"), (1, d(10), "silver"), (2, d(5), "gold")],
+        "user_id int, ts timestamp, tier string",
+    )
+    dim = scd2_intervals(changes, ["user_id"], "ts")
+    rows = {(r["user_id"], r["tier"]): (r["valid_from"], r["valid_to"]) for r in dim.collect()}
+    assert rows[(1, "bronze")] == (d(1), d(10))   # closed by the next version
+    assert rows[(1, "silver")] == (d(10), None)   # current
+    assert rows[(2, "gold")] == (d(5), None)
+    facts = spark.createDataFrame(
+        [(1, d(2)), (1, d(10)), (1, d(20)), (2, d(4)), (3, d(7))],
+        "user_id int, p_ts timestamp",
+    )
+    got = {
+        (r["user_id"], r["p_ts"].day): r["tier"]
+        for r in temporal_join(facts, dim, "user_id", fact_time="p_ts").collect()
+    }
+    # day 2 → bronze; day 10 (boundary) → silver (valid_from inclusive);
+    # day 20 → silver; user 2's day-4 fact precedes its first version and
+    # user 3 has no versions — both drop (inner semantics)
+    assert got == {(1, 2): "bronze", (1, 10): "silver", (1, 20): "silver"}
