@@ -121,7 +121,10 @@ def changelog_deltas(
     """
     value_cols = [c for c in new.columns if c not in key_cols]
     if prev is None:
-        return new.select(F.lit(INSERT).alias("kind"), *new.columns)
+        # same (kind, *key_cols, *value_cols) order as the diff branch —
+        # callers consuming positional tuples (replay_changelog) must see
+        # one stable column order across every emission
+        return new.select(F.lit(INSERT).alias("kind"), *key_cols, *value_cols)
     p = prev.select(*key_cols, F.struct(*value_cols).alias("_pv"))
     n = new.select(*key_cols, F.struct(*value_cols).alias("_nv"))
     j = p.join(n, on=list(key_cols), how="full_outer")

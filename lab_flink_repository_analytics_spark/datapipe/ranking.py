@@ -11,9 +11,22 @@ classic scale-safe construction used here:
    scalars (the same bounded-driver-state pattern as
    ``datapipe/graph.py``'s convergence checksum);
 3. global row_number = partition offset (a broadcast map of cumulative
-   counts) + intra-partition row_number — the intra-partition window
-   partitions on the materialized partition id, so no data moves again
-   (the range shuffle's output is cached across the two passes).
+   counts) + intra-partition row position, read straight out of
+   ``monotonically_increasing_id``'s low 33 bits over the sorted cached
+   partitions — a pure projection, so the range exchange is the ONLY
+   exchange in the whole construction.  (``with_global_running_max``
+   still needs a prefix scan, which Catalyst expresses as
+   ``Window.partitionBy(__pid)`` — that adds a second, hash-on-pid
+   exchange that moves each partition wholesale; two exchanges total,
+   stated honestly in its docstring.)
+
+Cache lifetime: the ranged intermediate for each helper is persisted in
+a single module slot — call N+1 releases call N's handle, and
+``release_caches()`` drops everything (long-lived sessions / bench
+loops).  If blocks are evicted before the caller materializes, the
+recompute is safe: the range sampler is fixed-seed over deterministic
+input, so partition ids, sort order, and record positions reproduce
+exactly.
 
 ``exact_ntile`` then derives SQL-exact NTILE(n) bucket ids from the global
 rank and total count N with pure integer arithmetic: the first ``N mod n``
@@ -26,6 +39,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# one outstanding cached intermediate per helper (see module docstring)
+_cache_slots: dict[str, DataFrame] = {}
+
+
+def _persist_bounded(df: DataFrame, slot: str) -> DataFrame:
+    """Persist ``df``, releasing whatever the previous call in this slot
+    cached — bounds a long-lived session to one cached range-shuffle
+    output per helper instead of accumulating them forever."""
+    prev = _cache_slots.pop(slot, None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    df = df.persist()
+    _cache_slots[slot] = df
+    return df
+
+
+def release_caches() -> None:
+    """Drop every cached ranking intermediate (bench loops, teardown)."""
+    for df in _cache_slots.values():
+        df.unpersist(blocking=False)
+    _cache_slots.clear()
+
 
 def with_global_row_number(
     df: DataFrame,
@@ -37,8 +72,11 @@ def with_global_row_number(
 
     Returns ``(df_with_rank, total_count)``.  ``order_cols`` must be a
     total order (append a tie-breaker key) for the rank to be
-    deterministic.  Cost: one range shuffle + one #partitions-sized driver
-    collect; no single-partition stage at any scale.
+    deterministic.  Cost: one range shuffle (the ONLY exchange) + one
+    #partitions-sized driver collect; the rank itself is a projection —
+    ``monotonically_increasing_id`` puts the record number within each
+    sorted partition in its low 33 bits, so no window, no second
+    shuffle, no single-partition stage at any scale.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     if num_partitions is None:
@@ -48,7 +86,7 @@ def with_global_row_number(
         .sortWithinPartitions(*cols)
         .withColumn("__pid", F.spark_partition_id())
     )
-    ranged = ranged.persist()
+    ranged = _persist_bounded(ranged, "row_number")
     # tiny: one row per shuffle partition
     counts = {
         r["__pid"]: r["cnt"]
@@ -65,10 +103,17 @@ def with_global_row_number(
         ),
         F.col("__pid"),
     ) if offsets else F.lit(0)
-    w = Window.partitionBy("__pid").orderBy(*cols)
-    out = (
-        ranged.withColumn(out_col, (F.row_number().over(w) + off_expr).cast("long"))
-        .drop("__pid")
+    # row position within the (already sorted, cached) partition: the low
+    # 33 bits of monotonically_increasing_id — evaluated in the same
+    # projection as spark_partition_id, over the same cached iterators,
+    # so the two are consistent by construction and NO second exchange
+    # (the previous Window.partitionBy("__pid") form forced a full
+    # hash-on-pid reshuffle that RangePartitioning does not satisfy)
+    pos = F.monotonically_increasing_id() - F.shiftleft(
+        F.col("__pid").cast("long"), 33
+    )
+    out = ranged.withColumn(out_col, (pos + F.lit(1) + off_expr).cast("long")).drop(
+        "__pid"
     )
     return out, total
 
@@ -84,18 +129,23 @@ def with_global_running_max(
     ``max(value) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING TO -1)``
     without the single-partition window.
 
-    Same construction as :func:`with_global_row_number`: range shuffle,
-    per-partition window, and a #partitions-sized driver collect of each
-    partition's total max, prefix-combined into a per-partition carry-in.
+    Same skeleton as :func:`with_global_row_number` — range shuffle plus
+    a #partitions-sized driver collect of each partition's total max,
+    prefix-combined into a per-partition carry-in.  Unlike row_number,
+    the intra-partition prefix scan genuinely needs a window, and
+    ``Window.partitionBy(__pid)`` requires hashpartitioning(__pid) which
+    range partitioning does not satisfy — so this costs TWO exchanges
+    (range + hash-on-pid; the second moves each partition wholesale).
     Rows with no strictly-earlier row get NULL (matching the window form).
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(num_partitions, *cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
+    ranged = _persist_bounded(
+        df.repartitionByRange(num_partitions, *cols).withColumn(
+            "__pid", F.spark_partition_id()
+        ),
+        "running_max",
     )
     # per-partition total max — tiny collect, one row per partition
     part_max = {

@@ -122,10 +122,12 @@ def rebalance(df, factor: int = 1, expected_splits: int | None = None):
 
     ``expected_splits``: callers that KNOW their source's split count (e.g.
     a pre-bucketed table) can pass it to skip the plan probe entirely.
-    The probe itself (physical planning + an RDD-DAG build, driver-side
-    only) is memoized on the analyzed plan's ``semanticHash`` so repeated
-    builds of the same query shape — bench loops, the driver's two-phase
-    run — pay it once.
+    Only the plan-SHAPE probe (physical planning → "does the input contain
+    a shuffle exchange") is memoized on the analyzed plan's
+    ``semanticHash`` — that part is a pure function of the query.  The
+    partition-count probe is runtime state of the source (a table can
+    gain/lose files mid-session after a sink write), so it is re-taken on
+    every call rather than cached with the plan.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
@@ -133,22 +135,22 @@ def rebalance(df, factor: int = 1, expected_splits: int | None = None):
         return df.repartition(target) if expected_splits < target else df
 
     key = (df._jdf.queryExecution().analyzed().semanticHash(), target)
-    hit = _REBALANCE_MEMO.get(key)
-    if hit is None:
-        # only probe partition counts for shuffle-free plans: if the input
-        # already contains a SHUFFLE exchange, that spreads it across
-        # spark.sql.shuffle.partitions anyway — and touching .rdd on an
-        # AQE plan with exchanges would execute those stages eagerly.
+    has_exchange = _REBALANCE_MEMO.get(key)
+    if has_exchange is None:
+        # if the input already contains a SHUFFLE exchange, that spreads it
+        # across spark.sql.shuffle.partitions anyway — and touching .rdd on
+        # an AQE plan with exchanges would execute those stages eagerly.
         # BroadcastExchange does NOT count: a broadcast join keeps the probe
         # side's partitioning, so a 1-split scan stays on one core.
         plan = df._jdf.queryExecution().executedPlan().toString()
-        hit = "Exchange" in plan.replace("BroadcastExchange", "") or (
-            df.rdd.getNumPartitions() >= target
-        )
+        has_exchange = "Exchange" in plan.replace("BroadcastExchange", "")
         if len(_REBALANCE_MEMO) > 4096:
             _REBALANCE_MEMO.clear()
-        _REBALANCE_MEMO[key] = hit
-    return df if hit else df.repartition(target)
+        _REBALANCE_MEMO[key] = has_exchange
+    if has_exchange:
+        return df
+    # runtime probe, never memoized: split count follows the files on disk
+    return df if df.rdd.getNumPartitions() >= target else df.repartition(target)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:

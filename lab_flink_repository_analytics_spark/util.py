@@ -60,7 +60,18 @@ def parse_flexible_date(s: str | None, now: datetime | None = None) -> datetime:
         )
     m = _FLEX.match(s.strip())
     if not m:
-        raise ValueError(f"cannot parse flexible date: {s!r}")
+        # compatibility fallback: the ingest DataSources accepted any
+        # datetime.fromisoformat form before the reference-parity parser
+        # landed (space-separated 'YYYY-MM-DD HH:MM:SS', explicit offsets
+        # like '+00:00').  Keep accepting those — offset-aware values are
+        # converted to UTC then made naive, matching EVALUATION_ZONE=UTC.
+        try:
+            dt = datetime.fromisoformat(s.strip())
+        except ValueError:
+            raise ValueError(f"cannot parse flexible date: {s!r}") from None
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+        return dt
     g = m.groupdict()
     frac = g["f"] or ""
     micros = int((frac + "000000")[:6]) if frac else 0

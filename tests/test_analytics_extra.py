@@ -123,4 +123,36 @@ def test_event_gap_two_keyed_exchanges(spark, sf_dir):
 
 def test_fuzzy_pairs_no_cartesian(spark, sf_dir):
     plan = _executed(AX.fuzzy_name_pairs(spark, sf_dir))
-    assert "CartesianProduct" not in plan  # length-block keys the join
+    assert "CartesianProduct" not in plan  # masked-band keys the join
+
+
+def test_fuzzy_blocking_not_degenerate(spark, sf_dir):
+    """The masked-band blocking key must actually partition the data:
+    no block may approach n (the round-2 length-only key collapsed the
+    fixed-width supplier names into ONE all-pairs block)."""
+    sup = AX.load_tables(spark, sf_dir)["supplier"]
+    n = sup.count()
+    keyed = sup.select(F.explode(AX._fuzzy_masked_keys("s_name")).alias("bk"))
+    max_block = keyed.groupBy("bk").count().agg(F.max("count")).collect()[0][0]
+    # deletion-neighborhood blocks = names identical except at ONE
+    # position — bounded by the per-position alphabet (10 digits here),
+    # an ABSOLUTE constant independent of n; the round-2 length-only key
+    # produced one block = n.  (A full-alphabet block is a true near-dup
+    # clique — e.g. the sf0.001 suppliers differ only in the last digit —
+    # so the bound must not be relative to n.)
+    assert max_block <= 16, (max_block, n)
+
+
+def test_fuzzy_blocking_is_lossless(spark, sf_dir):
+    """Blocked result == naive all-pairs result (exactness of the
+    masked-band scheme for same-length Levenshtein ≤ 1)."""
+    sup = AX.load_tables(spark, sf_dir)["supplier"]
+    a = sup.select(F.col("s_suppkey").alias("k1"), F.col("s_name").alias("name1"))
+    b = sup.select(F.col("s_suppkey").alias("k2"), F.col("s_name").alias("name2"))
+    naive = (
+        a.join(b, (F.length("name1") == F.length("name2")) & (F.col("k1") < F.col("k2")))
+        .filter(F.levenshtein("name1", "name2") <= 1)
+        .select("k1", "k2")
+    )
+    blocked = AX.fuzzy_name_pairs(spark, sf_dir).select("k1", "k2")
+    assert sorted(map(tuple, blocked.collect())) == sorted(map(tuple, naive.collect()))

@@ -167,6 +167,21 @@ def test_emission_batched_folds_intermediate_states(spark):
     assert got == [("+I", (33, "john"))]
 
 
+def test_changelog_deltas_column_order_stable_when_key_not_first(spark):
+    # round-3 ADVICE: with a schema whose key column is NOT first, the
+    # prev=None (+I) emission must use the same (kind, *keys, *values)
+    # order as the diff branch, or positional consumers silently swap
+    # fields between the first and later emissions
+    new1 = spark.createDataFrame([("a", 7)], "v string, k int")
+    first = CL.changelog_deltas(None, new1, ["k"])
+    assert first.columns == ["kind", "k", "v"]
+    new2 = spark.createDataFrame([("b", 7)], "v string, k int")
+    diff = CL.changelog_deltas(new1, new2, ["k"])
+    assert diff.columns == first.columns
+    got = sorted((r["kind"], r["k"], r["v"]) for r in diff.collect())
+    assert got == [("+U", 7, "b"), ("-U", 7, "a")]
+
+
 def test_changelog_deltas_null_safe_values(spark):
     prev = spark.createDataFrame([(1, None), (2, "x")], "k int, v string")
     new = spark.createDataFrame([(1, None), (2, None)], "k int, v string")

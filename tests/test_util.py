@@ -47,3 +47,18 @@ def test_empty_and_none_return_now():
 def test_rejects_garbage(bad):
     with pytest.raises(ValueError):
         parse_flexible_date(bad)
+
+
+@pytest.mark.parametrize(
+    "s,expect",
+    [
+        # fromisoformat compatibility fallback (round-3 ADVICE): forms the
+        # ingest DataSources accepted before the reference-parity parser
+        ("2021-04-15 12:30:05", datetime(2021, 4, 15, 12, 30, 5)),
+        ("2021-04-15T12:30:05+00:00", datetime(2021, 4, 15, 12, 30, 5)),
+        # explicit non-UTC offset → converted to UTC, then made naive
+        ("2021-04-15T12:30:05+02:00", datetime(2021, 4, 15, 10, 30, 5)),
+    ],
+)
+def test_fromisoformat_fallback_forms(s, expect):
+    assert parse_flexible_date(s) == expect

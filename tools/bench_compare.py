@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Per-query bench regression report: BENCH_r(N) vs BENCH_r(N-1).
+
+Reads the two most recent ``BENCH_r*.json`` artifacts at the repo root
+(or two paths given on the command line) and prints a per-query delta
+table, flagging queries slower by more than ``THRESHOLD``× (default
+1.5).  Non-fatal by design — ci.sh runs it as a report; exit code 2
+signals "regressions flagged" for callers that want to gate on it.
+
+Usage: python tools/bench_compare.py [old.json new.json] [--threshold 1.5]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+THRESHOLD = 1.5
+# below this absolute time, ratios are noise (session warmup, JIT)
+MIN_SECONDS = 0.5
+
+
+def _extract_queries(d: dict) -> dict[str, float]:
+    """Per-query seconds from either bench.py's own JSON line
+    (``{"queries": {...}}``) or the driver's wrapper artifact, whose
+    ``tail`` holds the (possibly front-truncated) stdout."""
+    if isinstance(d.get("queries"), dict):
+        return d["queries"]
+    parsed = d.get("parsed")
+    if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
+        return parsed["queries"]
+    tail = d.get("tail", "")
+    # tolerate truncation: scrape every  "name": 1.234  pair in the tail
+    pairs = re.findall(r'"([A-Za-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)\b', tail)
+    skip = {"metric", "value", "sf", "cpus", "n", "rc"}
+    return {k: float(v) for k, v in pairs if k not in skip}
+
+
+def _latest_two() -> tuple[str, str] | None:
+    paths = glob.glob(os.path.join(ROOT, "BENCH_r*.json"))
+
+    def rnum(p: str) -> int:
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    usable = []
+    for p in sorted(paths, key=rnum):
+        try:
+            d = json.load(open(p))
+            if isinstance(d, dict) and _extract_queries(d):
+                usable.append(p)
+        except Exception:
+            continue
+    if len(usable) < 2:
+        return None
+    return usable[-2], usable[-1]
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    threshold = THRESHOLD
+    if "--threshold" in args:
+        i = args.index("--threshold")
+        threshold = float(args[i + 1])
+        del args[i : i + 2]
+    if len(args) == 2:
+        old_p, new_p = args
+    else:
+        pair = _latest_two()
+        if pair is None:
+            print("bench_compare: fewer than two usable BENCH_r*.json artifacts; nothing to compare")
+            return 0
+        old_p, new_p = pair
+
+    old = json.load(open(old_p))
+    new = json.load(open(new_p))
+    oq, nq = _extract_queries(old), _extract_queries(new)
+    common = sorted(set(oq) & set(nq))
+    added = sorted(set(nq) - set(oq))
+    removed = sorted(set(oq) - set(nq))
+
+    print(f"bench_compare: {os.path.basename(old_p)} -> {os.path.basename(new_p)}")
+    print(f"  total: {sum(oq.values()):.1f}s -> {sum(nq.values()):.1f}s  "
+          f"({len(oq)} -> {len(nq)} queries)")
+    regressions = []
+    improvements = []
+    for name in common:
+        a, b = oq[name], nq[name]
+        if a <= 0:
+            continue
+        ratio = b / a
+        if b >= MIN_SECONDS and ratio > threshold:
+            regressions.append((ratio, name, a, b))
+        elif a >= MIN_SECONDS and ratio < 1 / threshold:
+            improvements.append((ratio, name, a, b))
+    for ratio, name, a, b in sorted(regressions, reverse=True):
+        print(f"  REGRESSION {name}: {a:.2f}s -> {b:.2f}s ({ratio:.2f}x)")
+    for ratio, name, a, b in sorted(improvements):
+        print(f"  improved   {name}: {a:.2f}s -> {b:.2f}s ({ratio:.2f}x)")
+    if added:
+        print(f"  added: {', '.join(added)}")
+    if removed:
+        print(f"  removed: {', '.join(removed)}")
+    if not regressions:
+        print(f"  no per-query regressions > {threshold}x")
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -7,7 +7,15 @@ compares row count, column names, and values (columns sorted by name,
 rows sorted, exact match with a float-tolerance fallback that is reported
 separately).
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--driver-mirror] [sf_dir] [query ...]
+
+``--driver-mirror`` canonicalizes exactly like the driver harness does
+(``pandas.DataFrame.sort_values`` over all columns, no list→tuple
+rescue).  Any output schema the driver cannot sort — e.g. an ARRAY
+column — FAILS here instead of silently passing the list-aware local
+check.  Round 2 shipped 5 array-valued queries that were value-exact
+locally but `err` on the driver for exactly this reason; ci.sh now runs
+this mode so the class is caught pre-handoff.
 """
 
 from __future__ import annotations
@@ -61,6 +69,16 @@ def _normalize(df_pandas):
     return cols, out
 
 
+def _driver_normalize(df_pandas):
+    """Mirror of the driver's ``_canon``: sort columns by name, then
+    ``sort_values`` over all of them.  Raises (→ FAIL) on unsortable
+    cell types such as lists, exactly like the driver does."""
+    cols = sorted(df_pandas.columns)
+    canon = df_pandas[cols].sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    rows = [tuple(_norm_cell(v) for v in r) for r in canon.itertuples(index=False, name=None)]
+    return cols, rows
+
+
 def _approx_equal(a, b, tol=1e-9):
     if type(a) is tuple and type(b) is tuple:
         return len(a) == len(b) and all(_approx_equal(x, y, tol) for x, y in zip(a, b))
@@ -71,8 +89,13 @@ def _approx_equal(a, b, tol=1e-9):
 
 def main():
     args = [a for a in sys.argv[1:]]
+    driver_mirror = "--driver-mirror" in args
+    args = [a for a in args if a != "--driver-mirror"]
+    normalize = _driver_normalize if driver_mirror else _normalize
     sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     only = set(args)
+    if driver_mirror:
+        print("mode: driver-mirror (pandas sort_values canonicalization)")
 
     import __spark_entry__ as entry_mod
     from lab_flink_repository_analytics_spark.session import get_spark
@@ -108,8 +131,13 @@ def main():
             print(f"FAIL  {name}: oracle error: {e}")
             failures.append(name)
             continue
-        scols, srows = _normalize(spark_pd)
-        dcols, drows = _normalize(duck_pd)
+        try:
+            scols, srows = normalize(spark_pd)
+            dcols, drows = normalize(duck_pd)
+        except Exception as e:
+            print(f"FAIL  {name}: canonicalization error (driver would err): {e}")
+            failures.append(name)
+            continue
         dt = time.time() - t0
         if scols != dcols:
             print(f"FAIL  {name}: schema {scols} vs {dcols}")

@@ -23,14 +23,19 @@ else
   python -m pytest tests/ -x -q
 fi
 
-echo "=== [2/3] correctness vs DuckDB oracle ==="
+echo "=== [2/3] correctness vs DuckDB oracle (driver-mirror canon) ==="
+# --driver-mirror: canonicalize exactly like the driver (pandas sort_values,
+# no list rescue) so unsortable output schemas fail HERE, not on the driver.
 if [[ "$QUICK" == "--quick" ]]; then
-  python tools/check_correctness.py /root/testdata/sf0.001
+  python tools/check_correctness.py --driver-mirror /root/testdata/sf0.001
 else
-  python tools/check_correctness.py /root/testdata/sf0.01
+  python tools/check_correctness.py --driver-mirror /root/testdata/sf0.01
 fi
 
 echo "=== [3/3] bench smoke (sf0.001) ==="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 python bench.py
+
+echo "=== [extra] bench regression compare (non-fatal) ==="
+python tools/bench_compare.py || true
 
 echo "=== CI GATE: ALL GREEN ==="
