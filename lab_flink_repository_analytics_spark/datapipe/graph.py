@@ -159,12 +159,16 @@ def pagerank_int(
     aggregation.  Returns (node, pr) with ranks in scaled units.
     """
     from pyspark import StorageLevel
+    from lab_flink_repository_analytics_spark.session import persist_bounded
 
-    both = (
-        _bidirect(edges, "pa", "pb")
-        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        # consumed by deg + every iteration's join: materialize once
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    both = persist_bounded(
+        _bidirect(edges, "pa", "pb").select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ),
+        # consumed by deg + every iteration's join: materialize once;
+        # slot-bounded so repeated pagerank calls don't accumulate caches
+        "graph.pagerank.edges",
+        StorageLevel.MEMORY_AND_DISK,
     )
     deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.count()  # node count: driver-side scalar, node-cardinality agg

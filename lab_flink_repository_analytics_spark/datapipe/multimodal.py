@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
 The Spark-side machinery is real and tested — schemas, Arrow-batched
-pandas UDFs over ``mapInPandas``, partition sizing — while the actual
-media decoding is STUBBED (this container has no image/audio libraries):
-each decode function raises ``NotImplementedError`` unless
-``deterministic_fake=True``, which substitutes a reproducible md5-derived
-payload so the pipeline shape is testable end-to-end.
+pandas UDFs over ``mapInPandas``, partition sizing.  Two REAL decode
+paths run in-sandbox with pure stdlib: uncompressed 24-bit BMP
+(``decode_bmp``, struct-parsed) and 16-bit PCM WAV (``decode_wav``, via
+``wave``) — payloads are sniffed by magic bytes and decoded for real
+wherever they appear.  Every other format is STUBBED (no PIL/ffmpeg in
+this container): those decode functions raise ``NotImplementedError``
+unless ``deterministic_fake=True``, which substitutes a reproducible
+md5-derived payload so the pipeline shape stays testable end-to-end.
 
 Design for 100 TB of media:
 
@@ -73,15 +76,134 @@ def _fake_embedding(payload: bytes, dim: int = EMBED_DIM) -> list[float]:
     return vals
 
 
-def decode_image(payload: bytes, deterministic_fake: bool = False):
-    """Decode an image payload to (height, width, pixel array).
+def is_bmp(payload: bytes) -> bool:
+    return bool(payload) and payload[:2] == b"BM"
 
-    STUB: real decoding needs PIL/opencv (not in this container).  The
+
+def is_wav(payload: bytes) -> bool:
+    return (
+        bool(payload)
+        and len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    )
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    """REAL pure-stdlib decode of an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER) → (height, width, top-down grayscale rows 0-255).
+
+    Handles both bottom-up (positive height, the common layout) and
+    top-down (negative height) pixel order, and the 4-byte row padding.
+    Grayscale = integer ITU-R 601 luma.  Runs inside the same Arrow
+    batches as the stubbed decoders — swap point unchanged.
+    """
+    import struct
+
+    if not is_bmp(payload):
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only uncompressed 24-bit BMP (got {bpp}bpp/comp={comp})")
+    top_down, h = h < 0, abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows: list[list[int]] = []
+    for r in range(h):
+        src = r if top_down else h - 1 - r
+        base = pixel_off + src * stride
+        row = []
+        for c in range(w):
+            b, g, rr = payload[base + 3 * c : base + 3 * c + 3]
+            row.append((299 * rr + 587 * g + 114 * b) // 1000)
+        rows.append(row)
+    return h, w, rows
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """REAL pure-stdlib decode of 16-bit PCM WAV via ``wave`` →
+    (sample_rate, n_channels, mono-mixed int16 samples)."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as wf:
+        ch, sw, rate, n = (
+            wf.getnchannels(),
+            wf.getsampwidth(),
+            wf.getframerate(),
+            wf.getnframes(),
+        )
+        raw = wf.readframes(n)
+    if sw != 2:
+        raise NotImplementedError(f"only 16-bit PCM WAV (got sampwidth={sw})")
+    vals = struct.unpack(f"<{len(raw) // 2}h", raw)
+    if ch > 1:
+        vals = [sum(vals[i : i + ch]) // ch for i in range(0, len(vals), ch)]
+    return rate, ch, list(vals)
+
+
+def _box_grid(rows: list[list[int]], g: int) -> list[int]:
+    """Average-pool pixel rows down to a ``g×g`` grid (row-major)."""
+    h, w = len(rows), len(rows[0])
+    out = []
+    for gy in range(g):
+        y0, y1 = gy * h // g, max(gy * h // g + 1, (gy + 1) * h // g)
+        for gx in range(g):
+            x0, x1 = gx * w // g, max(gx * w // g + 1, (gx + 1) * w // g)
+            s = sum(rows[y][x] for y in range(y0, y1) for x in range(x0, x1))
+            out.append(s // ((y1 - y0) * (x1 - x0)))
+    return out
+
+
+def _bmp_embedding(payload: bytes, dim: int = EMBED_DIM) -> list[float]:
+    """REAL image feature vector: decode → grayscale → 4×4 box-average →
+    [-1, 1) floats (dim=16).  The swap point for a learned encoder."""
+    _, _, rows = decode_bmp(payload)
+    g = int(dim**0.5)
+    return [(p - 128) / 128.0 for p in _box_grid(rows, g)]
+
+
+def _wav_segment_features(
+    samples: list[int], rate: int, start_ms: int, end_ms: int, dim: int = EMBED_DIM
+) -> list[float]:
+    """REAL audio features for one segment: 8 coarse-band RMS energies +
+    mean, RMS, zero-crossing rate, peak — padded to ``dim``.  All values
+    normalized to int16 full scale."""
+    lo = min(len(samples), start_ms * rate // 1000)
+    hi = min(len(samples), end_ms * rate // 1000)
+    seg = samples[lo:hi] or [0]
+    n = len(seg)
+    feats: list[float] = []
+    for b in range(8):  # coarse time-band energies
+        s = seg[b * n // 8 : max(b * n // 8 + 1, (b + 1) * n // 8)]
+        feats.append((sum(x * x for x in s) / len(s)) ** 0.5 / 32768.0)
+    feats.append(sum(seg) / n / 32768.0)
+    feats.append((sum(x * x for x in seg) / n) ** 0.5 / 32768.0)
+    feats.append(
+        sum(1 for i in range(1, n) if (seg[i - 1] < 0) != (seg[i] < 0)) / max(1, n - 1)
+    )
+    feats.append(max(abs(x) for x in seg) / 32768.0)
+    feats += [0.0] * (dim - len(feats))
+    return feats[:dim]
+
+
+def decode_image(payload: bytes, deterministic_fake: bool = False):
+    """Decode an image payload to (height, width, pixel rows).
+
+    BMP payloads decode FOR REAL (:func:`decode_bmp`, pure stdlib).
+    Other formats need PIL/opencv (not in this container): stubbed — the
     fake mode returns md5-derived dimensions so plumbing is testable.
     """
+    if is_bmp(payload):
+        return decode_bmp(payload)
     if not deterministic_fake:
         raise NotImplementedError(
-            "image decoding requires PIL/opencv; run with deterministic_fake=True"
+            "non-BMP image decoding requires PIL/opencv; "
+            "run with deterministic_fake=True"
         )
     h = hashlib.md5(payload or b"").digest()
     return (h[0] % 64 + 1, h[1] % 64 + 1, None)
@@ -97,14 +219,20 @@ def extract_image_features(
     ``decode_image`` change — the Spark plumbing stays identical.
     """
 
+    def _embed(p: bytes | None) -> list[float]:
+        p = p if p is not None else b""
+        if is_bmp(p):  # real stdlib decode, fake or not
+            return _bmp_embedding(p)
+        if deterministic_fake:
+            return _fake_embedding(p)
+        raise NotImplementedError(
+            "non-BMP image decoding requires PIL/opencv; "
+            "run with deterministic_fake=True"
+        )
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            embeddings = [
-                _fake_embedding(p if p is not None else b"")
-                if deterministic_fake
-                else decode_image(p)
-                for p in pdf["payload"]
-            ]
+            embeddings = [_embed(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -264,16 +392,13 @@ def extract_audio_features(
     """audio rows → per-segment feature vectors (MFCC-shaped) via
     mapInPandas.
 
-    Decode is STUBBED (needs librosa/ffmpeg, absent here): fake mode
-    derives per-segment vectors from md5(payload ‖ segment index), so the
-    batch shape, schema, and partitioning are the real plumbing a decoder
-    drops into.  Payloads ride into the UDF only because the (stub)
-    decoder needs them — the segment grid itself comes from metadata.
+    16-bit PCM WAV payloads decode FOR REAL (:func:`decode_wav`, pure
+    stdlib): per-segment coarse-band energies, RMS, zero-crossing rate,
+    peak.  Other codecs are STUBBED (need librosa/ffmpeg, absent here):
+    fake mode derives per-segment vectors from md5(payload ‖ segment
+    index), so the batch shape, schema, and partitioning are the real
+    plumbing a decoder drops into.
     """
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "audio decoding requires librosa/ffmpeg; run with deterministic_fake=True"
-        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -289,12 +414,24 @@ def extract_audio_features(
                 if dur is None or dur <= 0:
                     continue
                 p = payload if payload is not None else b""
+                wav = None
+                if is_wav(p):
+                    rate, _, samples = decode_wav(p)
+                    wav = (rate, samples)
+                elif not deterministic_fake:
+                    raise NotImplementedError(
+                        "non-WAV audio decoding requires librosa/ffmpeg; "
+                        "run with deterministic_fake=True"
+                    )
                 for i, start in enumerate(range(0, int(dur), window_ms)):
+                    end = min(start + window_ms, int(dur))
                     out["media_id"].append(mid)
                     out["seg_start_ms"].append(start)
-                    out["seg_end_ms"].append(min(start + window_ms, int(dur)))
+                    out["seg_end_ms"].append(end)
                     out["features"].append(
-                        _fake_embedding(p + i.to_bytes(4, "big"))
+                        _wav_segment_features(wav[1], wav[0], start, end)
+                        if wav is not None
+                        else _fake_embedding(p + i.to_bytes(4, "big"))
                     )
             yield pd.DataFrame(out)
 
@@ -340,19 +477,25 @@ def perceptual_hashes(
     media: DataFrame, deterministic_fake: bool = True
 ) -> DataFrame:
     """(media_id, phash) for every image row — Arrow-batched ``mapInPandas``
-    over the payload column; swap ``_fake_gray_grid`` for a PIL
-    decode+resize to run on real images."""
-    if not deterministic_fake:
+    over the payload column.  BMP payloads take the REAL path
+    (decode → grayscale → 8×8 box-average → aHash); other formats use the
+    md5 stand-in grid (swap for a PIL decode+resize on real images)."""
+
+    def _grid(p: bytes | None) -> list[int]:
+        p = p if p is not None else b""
+        if is_bmp(p):
+            _, _, rows = decode_bmp(p)
+            return _box_grid(rows, 8)
+        if deterministic_fake:
+            return _fake_gray_grid(p)
         raise NotImplementedError(
-            "image decoding requires PIL/opencv; run with deterministic_fake=True"
+            "non-BMP image decoding requires PIL/opencv; "
+            "run with deterministic_fake=True"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hashes = [
-                format(_ahash64(_fake_gray_grid(p)), "016x")
-                for p in pdf["payload"]
-            ]
+            hashes = [format(_ahash64(_grid(p)), "016x") for p in pdf["payload"]]
             yield pd.DataFrame({"media_id": pdf["media_id"], "phash": hashes})
 
     imgs = media.filter(F.col("kind") == "image").select("media_id", "payload")

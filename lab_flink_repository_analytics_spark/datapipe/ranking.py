@@ -39,27 +39,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# one outstanding cached intermediate per helper (see module docstring)
-_cache_slots: dict[str, DataFrame] = {}
-
-
 def _persist_bounded(df: DataFrame, slot: str) -> DataFrame:
-    """Persist ``df``, releasing whatever the previous call in this slot
-    cached — bounds a long-lived session to one cached range-shuffle
-    output per helper instead of accumulating them forever."""
-    prev = _cache_slots.pop(slot, None)
-    if prev is not None:
-        prev.unpersist(blocking=False)
-    df = df.persist()
-    _cache_slots[slot] = df
-    return df
+    """One outstanding cached range-shuffle output per helper — see
+    ``session.persist_bounded`` (shared slot registry)."""
+    from lab_flink_repository_analytics_spark.session import persist_bounded
+
+    return persist_bounded(df, f"ranking.{slot}")
 
 
 def release_caches() -> None:
-    """Drop every cached ranking intermediate (bench loops, teardown)."""
-    for df in _cache_slots.values():
-        df.unpersist(blocking=False)
-    _cache_slots.clear()
+    """Drop every slot-cached intermediate (bench loops, teardown)."""
+    from lab_flink_repository_analytics_spark.session import release_persist_slots
+
+    release_persist_slots()
 
 
 def with_global_row_number(

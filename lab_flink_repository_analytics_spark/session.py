@@ -108,6 +108,37 @@ def get_spark(
 #: a few thousand distinct query shapes per session).
 _REBALANCE_MEMO: dict[tuple[int, int], bool] = {}
 
+#: persist_bounded() slots: one outstanding cached DataFrame per call site
+_PERSIST_SLOTS: dict[str, "object"] = {}
+
+
+def persist_bounded(df, slot: str, storage_level=None):
+    """Persist ``df``, releasing whatever the previous call with this
+    ``slot`` cached.
+
+    Multi-consumer intermediates (edge lists, range-shuffle outputs) need
+    a persist, but query functions return lazy DataFrames so they cannot
+    unpersist before the caller materializes.  This bounds a long-lived
+    session (bench loops, the driver's two-phase run) to ONE cached
+    intermediate per call site instead of accumulating them until
+    executor storage evicts — and an eviction-forced recompute of a
+    deterministic plan reproduces the same data, so correctness never
+    depends on the cache.  ``release_persist_slots()`` drops everything.
+    """
+    prev = _PERSIST_SLOTS.pop(slot, None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    df = df.persist(storage_level) if storage_level is not None else df.persist()
+    _PERSIST_SLOTS[slot] = df
+    return df
+
+
+def release_persist_slots() -> None:
+    """Drop every slot-cached intermediate (teardown / between bench runs)."""
+    for df in _PERSIST_SLOTS.values():
+        df.unpersist(blocking=False)
+    _PERSIST_SLOTS.clear()
+
 
 def rebalance(df, factor: int = 1, expected_splits: int | None = None):
     """Ensure at least ``defaultParallelism × factor`` partitions before a

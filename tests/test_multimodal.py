@@ -133,3 +133,96 @@ def test_phash_near_dup_pairs_band_and_verify(spark):
     # unrelated pair appears only if it crosses the (unlikely) threshold
     for (i, j), d in pairs.items():
         assert d <= 8
+
+
+# ---------------------------------------------------------------------------
+# REAL stdlib decode paths: 24-bit BMP and 16-bit PCM WAV
+
+
+def make_bmp(rows):
+    """Build an uncompressed bottom-up 24-bit BMP from grayscale rows."""
+    import struct
+
+    h, w = len(rows), len(rows[0])
+    stride = (w * 3 + 3) // 4 * 4
+    body = bytearray()
+    for r in reversed(rows):  # bottom-up storage
+        line = bytearray()
+        for v in r:
+            line += bytes([v, v, v])  # B=G=R → luma == v
+        line += b"\x00" * (stride - len(line))
+        body += line
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    return bytes(hdr + info + body)
+
+
+def make_wav(samples, rate=8000):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def test_decode_bmp_real_pixels():
+    rows = [[0, 50, 100, 150], [200, 250, 10, 20], [30, 40, 60, 70]]
+    payload = make_bmp(rows)
+    h, w, got = MM.decode_bmp(payload)
+    assert (h, w) == (3, 4)
+    assert got == rows  # exact luma round-trip (B=G=R)
+    # decode_image auto-detects BMP and takes the real path, fake or not
+    assert MM.decode_image(payload) == (3, 4, rows)
+
+
+def test_decode_wav_real_samples():
+    samples = [0, 1000, -1000, 32000, -32000, 5]
+    rate, ch, got = MM.decode_wav(make_wav(samples))
+    assert (rate, ch) == (8000, 1)
+    assert got == samples
+
+
+def test_bmp_real_path_through_mapinpandas(spark):
+    # half black / half white image: aHash = exactly the bright half set
+    rows = [[0] * 8 if y < 4 else [255] * 8 for y in range(8)]
+    payload = make_bmp(rows)
+    media = spark.createDataFrame(
+        [("b1", "image", "image/bmp", bytearray(payload), 8, 8, None)], MM.MEDIA
+    )
+    [ph] = MM.perceptual_hashes(media).collect()
+    # grid is row-major top-down: rows 0-3 dark (bits clear), 4-7 bright
+    assert int(ph["phash"], 16) == 0xFFFFFFFF00000000
+    [feat] = MM.extract_image_features(media).collect()
+    emb = feat["embedding"]
+    assert len(emb) == MM.EMBED_DIM
+    # 4x4 pooled: first 8 cells dark (-1.0), last 8 bright (~0.99)
+    assert all(v == -1.0 for v in emb[:8])
+    assert all(v > 0.9 for v in emb[8:])
+
+
+def test_wav_real_path_through_mapinpandas(spark):
+    import math
+
+    rate = 8000
+    # 2 s: first second silence, second second a loud 440 Hz tone
+    samples = [0] * rate + [
+        int(20000 * math.sin(2 * math.pi * 440 * i / rate)) for i in range(rate)
+    ]
+    media = spark.createDataFrame(
+        [("a1", "audio", "audio/wav", bytearray(make_wav(samples, rate)), None, None, 2000)],
+        MM.MEDIA,
+    )
+    out = {r["seg_start_ms"]: r for r in MM.extract_audio_features(media, window_ms=1000).collect()}
+    assert set(out) == {0, 1000}
+    silent, loud = out[0]["features"], out[1000]["features"]
+    assert silent[9] == 0.0  # RMS of silence
+    assert loud[9] > 0.3  # RMS of the tone (~0.43 full scale)
+    assert loud[11] > 0.5  # peak
+    assert silent[10] == 0.0 and loud[10] > 0.05  # zero-crossing rate
