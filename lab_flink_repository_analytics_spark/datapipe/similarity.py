@@ -350,3 +350,97 @@ def quantization_error(vec: Column | str, quant: Column) -> Column:
         ).cast("double")
         / F.size(v)
     )
+
+
+def semdedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    with a coarse quantizer, then drop any vector whose cluster contains a
+    LOWER-id vector with cosine ≥ ``threshold``.
+
+    Returns (``id_col``, cluster_id, keep) for every input vector — the
+    keep-filter is the dedup decision, deterministic under any
+    partitioning (lowest id in each near-dup group survives).
+
+    Scale shape: the O(n²) cosine matrix is confined to single clusters —
+    centroids broadcast for assignment (one narrow pass), then ONE
+    self-equi-join on cluster id; cluster sizes are capped by the
+    quantizer granularity (#clusters scales with n at 100 TB, exactly the
+    SemDeDup recipe).  The drop rule needs no transitive closure, so no
+    iteration — one join + one semi-join-shaped aggregation.
+    """
+    asg = ivf_assignments(vectors, centroids, 1, id_col, vec_col).select(
+        "id", "v", F.col("cid").alias("cluster_id")
+    )
+    a = asg.select(
+        F.col("id").alias("id_lo"), F.col("v").alias("v_lo"), "cluster_id"
+    )
+    b = asg.select(
+        F.col("id").alias("id_hi"), F.col("v").alias("v_hi"), "cluster_id"
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_lo") < F.col("id_hi"))
+        .filter(F.round(cosine("v_lo", "v_hi"), 6) >= F.lit(threshold))
+        .select(F.col("id_hi").alias("id"))
+        .distinct()
+    )
+    return (
+        asg.join(dropped.withColumn("dropped", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster_id",
+            F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the top-k
+    most cosine-similar candidates with a DIFFERENT label — the negatives
+    closest to the decision boundary.
+
+    Same plan as :func:`brute_force_topk` (broadcast the small query set,
+    one pass over candidates, per-query window top-k) plus the label
+    inequality pushed into the join condition so same-label pairs are
+    never scored.  At scale, swap the candidate scan for the IVF/LSH
+    bucketed variants exactly as with ANN.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("qlabel"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("nlabel"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("qlabel") != F.col("nlabel"))
+        .select("query_id", "neg_id", cosine("qv", "cv").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neg_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("score", 6).alias("cos_sim"),
+        )
+    )

@@ -347,3 +347,157 @@ def chunk_documents(
             F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens), " "
         ).alias("chunk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level boilerplate detection and self-LM scoring
+
+
+def boilerplate_gram_stats_df(
+    docs,
+    k: int = 5,
+    min_docs: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document boilerplate exposure: the fraction of a doc's k-gram
+    positions covered by grams that occur in ≥ ``min_docs`` DISTINCT
+    documents (C4/CCNet-style boilerplate removal signal — navigation
+    chrome, license blurbs, templated text).
+
+    Scale shape: explode each doc's k-grams once (distinct per doc before
+    the global count, so a gram repeated inside one doc counts that doc
+    once); ONE hash aggregation finds corpus-frequent grams; the join
+    back to per-doc gram positions is keyed on the gram hash — at 100 TB
+    the frequent-gram table is tiny (boilerplate is by definition
+    heavy-tailed) and AQE broadcasts it, while the per-doc side never
+    collects.  Output: (doc_id, n_grams, boiler_grams, boiler_frac).
+    """
+    from lab_flink_repository_analytics_spark.session import rebalance
+
+    toks = tokens(text_col)
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: md5_hash32(
+                F.concat_ws(
+                    " ",
+                    *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)],
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    per_doc = rebalance(docs).select(
+        F.col(id_col).alias("doc_id"), F.explode_outer(grams).alias("g")
+    )
+    # corpus document-frequency per gram — distinct per doc first so the
+    # count is "docs containing", not occurrences
+    freq = (
+        per_doc.filter(F.col("g").isNotNull())
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("g", F.lit(True).alias("boiler"))
+    )
+    return (
+        per_doc.join(freq, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.col("g")).alias("n_grams"),
+            F.sum(F.when(F.col("boiler"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("boiler_grams"),
+        )
+        .withColumn(
+            "boiler_frac",
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.col("boiler_grams") / F.col("n_grams"), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def bigram_logprob_scores_df(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: int = 1,
+):
+    """Self-perplexity proxy: score every document under a word-bigram LM
+    fitted on the corpus itself (the KenLM-style quality signal of
+    CCNet/DSIR, with the corpus as its own reference model).
+
+    ``score = avg over bigrams of -ln P(w2 | w1)`` with add-``alpha``
+    smoothing over the corpus vocabulary; lower = more typical text.
+
+    Scale shape: two hash aggregations build the model (bigram counts,
+    unigram counts) — both shuffle once on the gram key; scoring joins
+    the exploded doc bigrams against the model on the same key, so the
+    count tables are NEVER collected or broadcast (at 100 TB the bigram
+    table is data-scale).  Per-log terms are summed in DECIMAL so the
+    per-doc average is order-independent across partitions.  Output:
+    (doc_id, n_bigrams, avg_neg_logprob).
+    """
+    from lab_flink_repository_analytics_spark.session import rebalance
+
+    toks = tokens(text_col)
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.struct(
+                F.element_at(toks, (i + 1).cast("int")).alias("w1"),
+                F.element_at(toks, (i + 2).cast("int")).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    doc_bi = rebalance(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(bigrams).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+
+    bi_counts = (
+        doc_bi.filter(F.col("w1").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    uni_counts = bi_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = doc_bi.filter(F.col("w2").isNotNull()).agg(
+        F.countDistinct("w2").alias("v")
+    )
+    model = bi_counts.join(uni_counts, "w1").crossJoin(F.broadcast(vocab)).select(
+        "w1",
+        "w2",
+        (
+            -F.log(
+                (F.col("c12") + F.lit(alpha))
+                / (F.col("c1") + F.lit(alpha) * F.col("v"))
+            )
+        ).alias("nll"),
+    )
+    return (
+        doc_bi.join(model, ["w1", "w2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.col("w1")).alias("n_bigrams"),
+            F.sum(F.col("nll").cast("decimal(38,18)")).alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.when(
+                F.col("n_bigrams") > 0,
+                # cast the exact DECIMAL sum to double BEFORE dividing —
+                # decimal/long division scale rules differ across engines,
+                # double division does not
+                F.round(F.col("_s").cast("double") / F.col("n_bigrams"), 6),
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias("avg_neg_logprob"),
+        )
+    )

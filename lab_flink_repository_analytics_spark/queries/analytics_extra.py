@@ -1344,6 +1344,88 @@ def ffd_packing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.packing_summary(P.first_fit_pack(docs, 256), 256)
 
 
+# ---------------------------------------------------------------------------
+# Corpus boilerplate exposure + self-LM quality scoring
+
+BOILER_K, BOILER_MIN_DOCS = 3, 5
+
+
+def boilerplate_gram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style boilerplate signal (datapipe/text.py::
+    boilerplate_gram_stats_df): per doc, the fraction of 3-gram positions
+    covered by grams occurring in ≥ 5 distinct documents."""
+    from lab_flink_repository_analytics_spark.datapipe import text as TX
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TX.boilerplate_gram_stats_df(docs, k=BOILER_K, min_docs=BOILER_MIN_DOCS)
+
+
+def _boiler_gram_sql() -> str:
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(BOILER_K))
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, ('0x' || substr(md5({parts}), 1, 8))::BIGINT AS g
+  FROM toks, unnest(generate_series(1, len(t) - {BOILER_K - 1})) AS u(i)
+  WHERE len(t) >= {BOILER_K}
+),
+freq AS (
+  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+  WHERE df >= {BOILER_MIN_DOCS}
+),
+per AS (
+  SELECT d.doc_id, count(*) AS n_grams,
+         CAST(sum(CASE WHEN f.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS boiler
+  FROM g d LEFT JOIN freq f ON d.g = f.g GROUP BY 1
+)
+SELECT doc.doc_id,
+       coalesce(p.n_grams, 0) AS n_grams,
+       coalesce(p.boiler, 0) AS boiler_grams,
+       CASE WHEN coalesce(p.n_grams, 0) > 0
+            THEN round(p.boiler * 1.0 / p.n_grams, 6) ELSE 0.0 END AS boiler_frac
+FROM documents doc LEFT JOIN per p ON doc.doc_id = p.doc_id
+"""
+
+
+BOILERPLATE_SQL = _boiler_gram_sql()
+
+
+def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-perplexity proxy (datapipe/text.py::bigram_logprob_scores_df):
+    every doc scored under the corpus's own add-1 word-bigram LM."""
+    from lab_flink_repository_analytics_spark.datapipe import text as TX
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TX.bigram_logprob_scores_df(docs)
+
+
+BIGRAM_LM_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+db AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+bi AS (SELECT w1, w2, count(*) AS c12 FROM db GROUP BY 1, 2),
+uni AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bi GROUP BY 1),
+voc AS (SELECT count(DISTINCT w2) AS v FROM db),
+model AS (
+  SELECT w1, w2, -ln((c12 + 1) / (c1 + 1 * v)) AS nll
+  FROM bi JOIN uni USING (w1) CROSS JOIN voc
+),
+scored AS (
+  SELECT d.doc_id, count(*) AS n_bigrams,
+         sum(CAST(m.nll AS DECIMAL(38,18))) AS s
+  FROM db d JOIN model m ON d.w1 = m.w1 AND d.w2 = m.w2 GROUP BY 1
+)
+SELECT doc.doc_id,
+       coalesce(sc.n_bigrams, 0) AS n_bigrams,
+       CASE WHEN sc.n_bigrams > 0
+            THEN round(CAST(sc.s AS DOUBLE) / sc.n_bigrams, 6) END AS avg_neg_logprob
+FROM documents doc LEFT JOIN scored sc ON doc.doc_id = sc.doc_id
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_top_terms": bm25_top_terms,
@@ -1367,6 +1449,8 @@ QUERIES = {
     "copurchase_pagerank": copurchase_pagerank,
     "quantified_funnel": quantified_funnel,
     "month_spine_revenue": month_spine_revenue,
+    "boilerplate_gram_frac": boilerplate_gram_frac,
+    "bigram_lm_scores": bigram_lm_scores,
 }
 
 ORACLES = {
@@ -1391,4 +1475,6 @@ ORACLES = {
     "customer_revenue_quartiles": QUARTILES_SQL,
     "user_value_streaks": STREAKS_SQL,
     "copurchase_triangles": TRIANGLES_SQL,
+    "boilerplate_gram_frac": BOILERPLATE_SQL,
+    "bigram_lm_scores": BIGRAM_LM_SQL,
 }

@@ -1215,6 +1215,66 @@ scored AS (
 """
 
 
+SEMDEDUP_TAU = 0.3
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table (datapipe/similarity.py::
+    semdedup): 16-list coarse quantizer, drop any vector with a lower-id
+    cluster-mate at cosine ≥ 0.3; output (vec_id, cluster_id, keep)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = SIM.sampled_centroids(emb, IVF_NLISTS)
+    return SIM.semdedup(emb, cents, SEMDEDUP_TAU)
+
+
+SEMDEDUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {IVF_NLISTS}),
+pairs AS (
+  SELECT e.vec_id, e.v, c.cid, {_cos_sql("e.v", "c.cv")} AS cs
+  FROM e, c
+), asg AS (
+  SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+  FROM pairs
+), a1 AS (SELECT vec_id, v, cid AS cluster_id FROM asg WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT hi.vec_id
+  FROM a1 lo JOIN a1 hi ON lo.cluster_id = hi.cluster_id AND lo.vec_id < hi.vec_id
+  WHERE round({_cos_sql("lo.v", "hi.v")}, 6) >= {SEMDEDUP_TAU}
+)
+SELECT a1.vec_id, a1.cluster_id,
+       (d.vec_id IS NULL) AS keep
+FROM a1 LEFT JOIN dropped d ON a1.vec_id = d.vec_id
+"""
+
+
+HARD_NEG_K = 5
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives (datapipe/similarity.py::hard_negatives):
+    per query vector (vec_id < 5), the 5 most-similar DIFFERENT-label
+    candidates — the near-boundary negatives a contrastive trainer mines."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return SIM.hard_negatives(emb.filter(F.col("vec_id") < 5), emb, k=HARD_NEG_K)
+
+
+HARD_NEG_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, c.vec_id AS neg_id, {_cos_sql("qv", "c.v")} AS score
+  FROM q JOIN e c ON q.qlabel <> c.label
+), ranked AS (
+  SELECT query_id, neg_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neg_id) AS rank
+  FROM scored
+)
+SELECT query_id, neg_id, CAST(rank AS INT) AS rank, round(score, 6) AS cos_sim
+FROM ranked WHERE rank <= {HARD_NEG_K}
+"""
+
+
 def changelog_net_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog-mode surface (ref ListAggITCase112.java:50-62, 'I,UA,UB,D'
     values source): events replayed as an un-keyed changelog — every event
@@ -2639,6 +2699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantile_hist": value_quantile_hist,
         "value_outliers": value_outliers,
         "grouping_sets_orders": grouping_sets_orders,
+        "semantic_dedup": semantic_dedup,
+        "hard_negative_mining": hard_negative_mining,
         **TPCH.QUERIES,
         **AX.QUERIES,
     }
@@ -2714,6 +2776,8 @@ def oracle_sql() -> dict[str, str]:
         "value_quantile_hist": VALUE_QUANTILE_HIST_SQL,
         "value_outliers": VALUE_OUTLIERS_SQL,
         "grouping_sets_orders": GROUPING_SETS_ORDERS_SQL,
+        "semantic_dedup": SEMDEDUP_SQL,
+        "hard_negative_mining": HARD_NEG_SQL,
         **TPCH.ORACLES,
         **AX.ORACLES,
     }

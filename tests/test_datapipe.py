@@ -367,3 +367,84 @@ def test_int8_quantize_roundtrip_and_zero(spark):
     assert by_id[2]["qz"]["q"] == [0, 0, 0, 0]
     assert by_id[2]["qz"]["scale"] == 0.0
     assert by_id[2]["mae"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup, hard negatives, boilerplate grams, bigram self-LM
+
+
+def test_semdedup_keeps_lowest_id_per_near_dup_group(spark):
+    # two orthogonal directions; ids 1,2,3 colinear (cos=1), 4 orthogonal
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [2.0, 0.0], 0),
+        (3, [0.5, 0.0], 0),
+        (4, [0.0, 1.0], 0),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+    cents = SIM.sampled_centroids(emb, 2)
+    got = {r["vec_id"]: r["keep"] for r in SIM.semdedup(emb, cents, 0.9).collect()}
+    assert got == {1: True, 2: False, 3: False, 4: True}
+
+
+def test_semdedup_below_threshold_keeps_all(spark):
+    rows = [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+    cents = SIM.sampled_centroids(emb, 1)
+    got = SIM.semdedup(emb, cents, 0.9).collect()
+    assert all(r["keep"] for r in got)
+
+
+def test_hard_negatives_excludes_same_label_and_ranks(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),   # query
+        (1, [1.0, 0.01], 0),  # same label: must never appear
+        (2, [1.0, 0.1], 1),   # closest different-label
+        (3, [0.5, 0.5], 1),
+        (4, [0.0, 1.0], 2),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+    got = SIM.hard_negatives(emb.filter(F.col("vec_id") == 0), emb, k=2).collect()
+    assert [(r["neg_id"], r["rank"]) for r in sorted(got, key=lambda r: r["rank"])] == [
+        (2, 1),
+        (3, 2),
+    ]
+
+
+def test_boilerplate_gram_stats(spark):
+    # "a b c" occurs in 3 docs (min_docs=3 → boilerplate); doc 4 is clean
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x y"),
+            (2, "q a b c z"),
+            (3, "a b c"),
+            (4, "p q r s"),
+            (5, "xy"),  # < k tokens: 0 grams
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["boiler_grams"], r["boiler_frac"])
+        for r in TX.boilerplate_gram_stats_df(docs, k=3, min_docs=3).collect()
+    }
+    assert got[1] == (3, 1, 0.333333)  # grams: "a b c","b c x","c x y"
+    assert got[2] == (3, 1, 0.333333)
+    assert got[3] == (1, 1, 1.0)
+    assert got[4] == (2, 0, 0.0)
+    assert got[5] == (0, 0, 0.0)
+
+
+def test_bigram_lm_scores_rare_bigrams_score_higher(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),  # only common bigrams
+            (2, "a b a b z q"),  # contains two singleton bigrams
+            (3, "x"),            # <2 tokens: no score
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in TX.bigram_logprob_scores_df(docs).collect()}
+    assert got[3]["n_bigrams"] == 0 and got[3]["avg_neg_logprob"] is None
+    assert got[1]["n_bigrams"] == 5 and got[2]["n_bigrams"] == 5
+    # doc 2's rare bigrams must make it less probable than doc 1
+    assert got[2]["avg_neg_logprob"] > got[1]["avg_neg_logprob"]

@@ -35,6 +35,9 @@ BNLJ_OK = {
     "bm25_top_terms",  # broadcast scalar (N, avgdl)
     "dq_checks",  # broadcast scalar totals per rule
     "copurchase_triangles",  # broadcast scalar wedge/triangle counts
+    "hard_negative_mining",  # broadcast query set (bounded, ≪ corpus)
+    "semantic_dedup",  # broadcast 16-centroid quantizer (as ann_ivf_topk)
+    "bigram_lm_scores",  # broadcast scalar vocab size V
 }
 
 #: queries allowed an Exchange SinglePartition — every one is a
@@ -53,6 +56,7 @@ SINGLE_PARTITION_OK = {
     "copurchase_triangles",  # scalar triangle/wedge/edge counts
     "monthly_revenue_growth",  # month-cardinality window (bounded ~100s)
     "mixture_sample_counts",  # #groups quota rows
+    "bigram_lm_scores",  # scalar vocab-size reduction (partial-agg first)
 }
 
 
