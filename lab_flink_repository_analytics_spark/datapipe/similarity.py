@@ -155,18 +155,77 @@ def kmeans_centroids(
     return spark.createDataFrame(rows, "cid int, cv array<double>")
 
 
+#: quantizers up to this size are inlined as codegen literals; larger ones
+#: fall back to the broadcast-join + window plan
+MAX_INLINE_CENTROIDS = 1024
+
+
+def _inline_assignments(
+    vectors: DataFrame,
+    cent_rows: list,
+    n_best: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shuffle-FREE centroid assignment: the (bounded) centroid table is
+    inlined as array literals and the per-vector rank is an
+    ``array_sort`` over (-cosine, cid) structs — one narrow projection,
+    no crossJoin row expansion, no window exchange.  Tie-break and float
+    semantics are bit-identical to the join+window plan: centroid norms
+    are pre-folded in Python with the same left-to-right IEEE-double
+    order as :func:`dot`, and ascending (-cs, cid) ≡ (cs DESC, cid)."""
+    import math
+
+    entries = []
+    for r in sorted(cent_rows, key=lambda r: r["cid"]):
+        cv = [float(x) for x in r["cv"]]
+        acc = 0.0
+        for x in cv:
+            acc += x * x
+        ncv = math.sqrt(acc)
+        lit_cv = F.array(*[F.lit(x) for x in cv])
+        cs = dot(F.col("v"), lit_cv) / (F.col("_nv") * F.lit(ncv))
+        entries.append(
+            F.struct((-cs).alias("negcs"), F.lit(int(r["cid"])).alias("cid"))
+        )
+    ranked = F.slice(F.array_sort(F.array(*entries)), 1, n_best)
+    return (
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("_nv", norm(F.col("v")))
+        .select("id", "v", F.posexplode(ranked).alias("pos", "e"))
+        .select(
+            "id",
+            "v",
+            F.col("e.cid").alias("cid"),
+            (F.col("pos") + 1).cast("int").alias("rn"),
+        )
+    )
+
+
 def ivf_assignments(
     vectors: DataFrame,
     centroids: DataFrame,
     n_best: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    inline: bool = True,
 ) -> DataFrame:
     """Rank each vector's centroids by cosine; keep the best ``n_best``.
 
-    Centroids broadcast; the big side is scanned once with no shuffle
-    before the per-vector rank (window partitioned by vector id).
+    Default plan (``inline=True``, quantizer ≤ MAX_INLINE_CENTROIDS):
+    collect the centroid table driver-side — it is model-artifact-sized
+    by contract, never data-scale — and assign via a pure codegen
+    projection (see :func:`_inline_assignments`).  The vector table is
+    scanned once with NO shuffle at any scale.
+
+    Fallback (large quantizers): centroids broadcast into a crossJoin,
+    per-vector rank via a window partitioned by vector id — one hash
+    exchange of the #centroids-expanded pair table.
     """
+    if inline:
+        rows = centroids.select("cid", "cv").collect()
+        if len(rows) <= MAX_INLINE_CENTROIDS:
+            return _inline_assignments(vectors, rows, n_best, id_col, vec_col)
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     pairs = v.crossJoin(F.broadcast(centroids)).select(
         "id", "v", "cid", cosine("v", "cv").alias("cs")

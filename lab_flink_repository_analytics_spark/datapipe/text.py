@@ -365,13 +365,14 @@ def boilerplate_gram_stats_df(
     documents (C4/CCNet-style boilerplate removal signal — navigation
     chrome, license blurbs, templated text).
 
-    Scale shape: explode each doc's k-grams once (distinct per doc before
-    the global count, so a gram repeated inside one doc counts that doc
-    once); ONE hash aggregation finds corpus-frequent grams; the join
-    back to per-doc gram positions is keyed on the gram hash — at 100 TB
-    the frequent-gram table is tiny (boilerplate is by definition
-    heavy-tailed) and AQE broadcasts it, while the per-doc side never
-    collects.  Output: (doc_id, n_grams, boiler_grams, boiler_frac).
+    Scale shape: gram POSITIONS are pre-aggregated to (doc, gram,
+    multiplicity) in the first shuffle; the document-frequency rollup
+    (count per gram over the already-distinct pairs), the frequent-gram
+    join, and the per-doc rollup all move distinct doc-grams, never raw
+    positions.  At 100 TB the frequent-gram table is tiny (boilerplate is
+    by definition heavy-tailed) and AQE broadcasts the join back, while
+    the per-doc side never collects.  Output: (doc_id, n_grams,
+    boiler_grams, boiler_frac).
     """
     from lab_flink_repository_analytics_spark.session import rebalance
 
@@ -389,25 +390,27 @@ def boilerplate_gram_stats_df(
             ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    per_doc = rebalance(docs).select(
-        F.col(id_col).alias("doc_id"), F.explode_outer(grams).alias("g")
+    pairs = (
+        rebalance(docs)
+        .select(F.col(id_col).alias("doc_id"), F.explode_outer(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.when(F.col("g").isNotNull(), 1)).alias("cnt"))
     )
-    # corpus document-frequency per gram — distinct per doc first so the
-    # count is "docs containing", not occurrences
+    # corpus document-frequency per gram: pairs are already distinct per
+    # doc, so one count per gram is "docs containing", not occurrences
     freq = (
-        per_doc.filter(F.col("g").isNotNull())
-        .distinct()
+        pairs.filter(F.col("g").isNotNull())
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_docs)
         .select("g", F.lit(True).alias("boiler"))
     )
     return (
-        per_doc.join(freq, "g", "left")
+        pairs.join(freq, "g", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.col("g")).alias("n_grams"),
-            F.sum(F.when(F.col("boiler"), 1).otherwise(0))
+            F.sum("cnt").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("boiler"), F.col("cnt")).otherwise(0))
             .cast("bigint")
             .alias("boiler_grams"),
         )
@@ -434,12 +437,15 @@ def bigram_logprob_scores_df(
     ``score = avg over bigrams of -ln P(w2 | w1)`` with add-``alpha``
     smoothing over the corpus vocabulary; lower = more typical text.
 
-    Scale shape: two hash aggregations build the model (bigram counts,
-    unigram counts) — both shuffle once on the gram key; scoring joins
-    the exploded doc bigrams against the model on the same key, so the
-    count tables are NEVER collected or broadcast (at 100 TB the bigram
-    table is data-scale).  Per-log terms are summed in DECIMAL so the
-    per-doc average is order-independent across partitions.  Output:
+    Scale shape: exploded bigram POSITIONS are immediately pre-aggregated
+    to (doc, w1, w2, multiplicity) — natural text repeats bigrams heavily,
+    so every later stage (the corpus bigram counts derived by a second
+    rollup of the same table, the model join keyed on the gram, the
+    per-doc sum weighted by multiplicity) moves distinct doc-bigrams, not
+    positions.  The count tables are NEVER collected or broadcast (at
+    100 TB the bigram table is data-scale).  Per-log terms are summed in
+    DECIMAL (nll × multiplicity is exact decimal×int) so the per-doc
+    average is order-independent across partitions.  Output:
     (doc_id, n_bigrams, avg_neg_logprob).
     """
     from lab_flink_repository_analytics_spark.session import rebalance
@@ -456,15 +462,23 @@ def bigram_logprob_scores_df(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    doc_bi = rebalance(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode_outer(bigrams).alias("b"),
-    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    doc_bi = (
+        rebalance(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(bigrams).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        # positions → multiplicities: the ONLY stage that touches every
+        # bigram occurrence; everything downstream moves distinct pairs
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
     bi_counts = (
         doc_bi.filter(F.col("w1").isNotNull())
         .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
+        .agg(F.sum("cnt").alias("c12"))
     )
     uni_counts = bi_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = doc_bi.filter(F.col("w2").isNotNull()).agg(
@@ -484,8 +498,16 @@ def bigram_logprob_scores_df(
         doc_bi.join(model, ["w1", "w2"], "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.col("w1")).alias("n_bigrams"),
-            F.sum(F.col("nll").cast("decimal(38,18)")).alias("_s"),
+            F.sum(F.when(F.col("w1").isNotNull(), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_bigrams"),
+            # nll < ~50 fits decimal(20,15); cnt as decimal(10,0) keeps the
+            # product at precision 31 ≤ 38 — NO silent scale truncation, so
+            # sum(nll_dec × cnt) exactly equals the oracle's per-position sum
+            F.sum(
+                F.col("nll").cast("decimal(20,15)")
+                * F.col("cnt").cast("decimal(10,0)")
+            ).alias("_s"),
         )
         .select(
             "doc_id",

@@ -1415,7 +1415,7 @@ model AS (
 ),
 scored AS (
   SELECT d.doc_id, count(*) AS n_bigrams,
-         sum(CAST(m.nll AS DECIMAL(38,18))) AS s
+         sum(CAST(m.nll AS DECIMAL(20,15))) AS s
   FROM db d JOIN model m ON d.w1 = m.w1 AND d.w2 = m.w2 GROUP BY 1
 )
 SELECT doc.doc_id,
