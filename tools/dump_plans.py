@@ -46,7 +46,7 @@ SHOW = [
     ("customer_skyline", "sort-scan skyline: window over distinct acctbals, broadcast back (no n² join)"),
     ("copurchase_triangles", "two-hop equi-join closed by semi join; wedges from degrees, not enumeration"),
     ("q8_market_share", "widest star: part/supplier/customer/nation×2/region broadcast; one-pass ratio"),
-    ("fuzzy_name_pairs", "block-then-verify: length-blocked self-join, codegen levenshtein residual"),
+    ("fuzzy_name_pairs", "block-then-verify: deletion-neighborhood masked keys, codegen levenshtein residual"),
     ("inverted_index", "explode → one term aggregation; sorted-set postings, order-insensitive"),
     ("per_group_sample", "md5-ranked k-per-stratum; WindowGroupLimit prunes to k below the exchange"),
     ("copurchase_pagerank", "iterative rank rounds: shuffle-hash joins on node id, rank table never broadcast"),
@@ -55,6 +55,10 @@ SHOW = [
     ("random_projection_sketch", "SRP signature: literal-matrix zip_with/aggregate fold, zero pre-rollup exchanges"),
     ("quantization_error_by_label", "int8 quantize: row-local transform + exact-DECIMAL fold, one label rollup"),
     ("mixture_sample_counts", "mixture quota: hash-filter scan, zero data shuffles before the rollup"),
+    ("semantic_dedup", "SemDeDup: inlined-quantizer assignment (no shuffle), cosine confined to one cluster join"),
+    ("hard_negative_mining", "broadcast query set with label inequality in the join; per-query window top-k"),
+    ("boilerplate_gram_frac", "positions pre-aggregated to doc-gram multiplicities; frequent-gram join back"),
+    ("bigram_lm_scores", "doc-bigram multiplicities feed both the model rollup and the scoring join"),
 ]
 
 
