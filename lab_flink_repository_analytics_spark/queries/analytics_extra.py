@@ -1426,6 +1426,37 @@ FROM documents doc LEFT JOIN scored sc ON doc.doc_id = sc.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-key EWMA (integer-exact linear recurrence)
+
+
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values
+    (α = 1/5, value scaled ×1000 to integer — datapipe/timeseries.py):
+    the sequential recurrence a declarative engine can't express as a
+    plain aggregate, decomposed BY KEY so timelines parallelize."""
+    from lab_flink_repository_analytics_spark.datapipe import timeseries as TS
+
+    events = load_tables(spark, sf_dir)["events"]
+    return TS.ewma_int_df(
+        events, ["user_id"], ["ts", "event_id"], "value", alpha_num=1, alpha_den=5
+    )
+
+
+USER_VALUE_EWMA_SQL = """
+WITH s AS (
+  SELECT user_id, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS x, ts, event_id
+  FROM events
+), arr AS (
+  SELECT user_id, list(x ORDER BY ts, event_id) AS xs, count(*) AS n
+  FROM s GROUP BY 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       list_reduce(xs, (a, x) -> (4 * a + x) // 5) AS ewma_scaled
+FROM arr
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_top_terms": bm25_top_terms,
@@ -1451,6 +1482,7 @@ QUERIES = {
     "month_spine_revenue": month_spine_revenue,
     "boilerplate_gram_frac": boilerplate_gram_frac,
     "bigram_lm_scores": bigram_lm_scores,
+    "user_value_ewma": user_value_ewma,
 }
 
 ORACLES = {
@@ -1477,4 +1509,5 @@ ORACLES = {
     "copurchase_triangles": TRIANGLES_SQL,
     "boilerplate_gram_frac": BOILERPLATE_SQL,
     "bigram_lm_scores": BIGRAM_LM_SQL,
+    "user_value_ewma": USER_VALUE_EWMA_SQL,
 }

@@ -359,3 +359,124 @@ def test_ffd_within_proved_bound_of_optimal(spark):
     for shard, sizes in shards.items():
         opt = _optimal_bins(sizes, cap)
         assert len(got[shard]) <= math.floor(11 / 9 * opt) + 1, (shard, sizes, opt)
+
+
+def test_fuzzy_deletion_blocking_lossless_on_random_strings(spark):
+    """Deletion-neighborhood blocking finds EXACTLY the same-length
+    Levenshtein ≤ 1 pairs as the naive all-pairs scan, on adversarial
+    random data (shared prefixes, duplicates, near-misses)."""
+    import itertools
+    import random
+
+    from lab_flink_repository_analytics_spark.queries import analytics_extra as AX
+
+    rng = random.Random(7)
+    alphabet = "ab1"
+    names = []
+    for _ in range(80):
+        base = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+        names.append(base)
+        if rng.random() < 0.5:  # planted near-dup: one substitution
+            i = rng.randrange(len(base))
+            names.append(base[:i] + rng.choice(alphabet) + base[i + 1 :])
+    rows = [(i, n) for i, n in enumerate(names)]
+
+    def lev1_same_len(a, b):
+        return len(a) == len(b) and sum(x != y for x, y in zip(a, b)) <= 1
+
+    expect = sorted(
+        (i, j)
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if lev1_same_len(a, b)
+    )
+    df = spark.createDataFrame(rows, "k bigint, name string")
+    keyed = df.select("k", "name", F.explode(AX._fuzzy_masked_keys("name")).alias("bk"))
+    a = keyed.select(F.col("k").alias("k1"), F.col("name").alias("n1"), "bk")
+    b = keyed.select(F.col("k").alias("k2"), F.col("name").alias("n2"), "bk")
+    got = sorted(
+        (r["k1"], r["k2"])
+        for r in (
+            a.join(b, "bk")
+            .filter(F.col("k1") < F.col("k2"))
+            .select("k1", "k2", "n1", "n2")
+            .distinct()
+            .filter(
+                (F.levenshtein("n1", "n2") <= 1)
+                & (F.length("n1") == F.length("n2"))
+            )
+            .collect()
+        )
+    )
+    assert got == expect
+
+
+def test_bigram_lm_multiplicity_form_matches_per_position(spark):
+    """The (doc, w1, w2, cnt) pre-aggregated scoring must equal the naive
+    per-position average on random repetitive docs."""
+    import math
+    import random
+
+    rng = random.Random(11)
+    vocab = ["a", "b", "c", "d"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 30))))
+        for i in range(25)
+    ]
+    # pure-python mirror: add-1 bigram LM over the same corpus
+    bi, uni, vset = {}, {}, set()
+    seqs = {}
+    for i, t in docs:
+        toks = t.split(" ")
+        seqs[i] = toks
+        for w1, w2 in zip(toks, toks[1:]):
+            bi[(w1, w2)] = bi.get((w1, w2), 0) + 1
+            uni[w1] = uni.get(w1, 0) + 1
+            vset.add(w2)
+    V = len(vset)
+    expect = {}
+    for i, toks in seqs.items():
+        nlls = [
+            -math.log((bi[(w1, w2)] + 1) / (uni[w1] + V))
+            for w1, w2 in zip(toks, toks[1:])
+        ]
+        expect[i] = round(sum(nlls) / len(nlls), 6)
+    got = {
+        r["doc_id"]: r["avg_neg_logprob"]
+        for r in TX.bigram_logprob_scores_df(
+            spark.createDataFrame(docs, "doc_id bigint, text string")
+        ).collect()
+    }
+    for i in expect:
+        assert abs(got[i] - expect[i]) < 2e-6, (i, got[i], expect[i])
+
+
+def test_semdedup_keep_rule_invariant(spark):
+    """keep=False ⇔ some lower-id same-cluster vector has cosine ≥ τ —
+    checked against a brute-force mirror on random vectors."""
+    import math
+    import random
+
+    from lab_flink_repository_analytics_spark.datapipe import similarity as SIM
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(60):
+        v = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, v, 0))
+        if rng.random() < 0.3:  # planted near-dup (same direction, scaled)
+            rows.append((len(rows) + 1000, [x * 2.0 for x in v], 0))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+    cents = SIM.sampled_centroids(emb, 4)
+    got = {r["vec_id"]: (r["cluster_id"], r["keep"]) for r in SIM.semdedup(emb, cents, 0.8).collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    by_id = {i: v for i, v, _ in rows}
+    for i, (ci, keep) in got.items():
+        mates = [j for j, (cj, _) in got.items() if cj == ci and j < i]
+        expect_drop = any(round(cos(by_id[i], by_id[j]), 6) >= 0.8 for j in mates)
+        assert keep == (not expect_drop), (i, keep, expect_drop)
