@@ -1427,6 +1427,74 @@ FROM documents doc LEFT JOIN scored sc ON doc.doc_id = sc.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Per-group z-score normalization (feature engineering)
+
+
+def event_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature normalization: z = (x - μ_g)/σ_g over event_type
+    groups — the standard two-pass normalize every feature pipeline needs.
+
+    Engine-parity discipline: μ and σ are derived from EXACT decimal
+    moments (Σx, Σx² — values have 2 decimals, so decimal(20,4) squares
+    are exact) rather than the built-in stddev (Welford vs naive moment
+    accumulation differs across engines in the last ulps).  σ uses the
+    sample form (n-1).  Scale shape: one group rollup (#groups rows) and
+    one broadcast join back — the fact table shuffles zero times."""
+    ev = load_tables(spark, sf_dir)["events"]
+    x = F.col("value").cast("decimal(10,2)")
+    stats = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("s1"),
+            F.sum(x * x).alias("s2"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("s1").cast("double") / F.col("n")).alias("mu"),
+            F.sqrt(
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double")
+                    * F.col("s1").cast("double")
+                    / F.col("n")
+                )
+                / (F.col("n") - 1)
+            ).alias("sigma"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.col("n") > 1)
+        .select(
+            "event_id",
+            "event_type",
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+        )
+    )
+
+
+EVENT_VALUE_ZSCORES_SQL = """
+WITH stats AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(value AS DECIMAL(10,2))) AS s1,
+         sum(CAST(value AS DECIMAL(10,2)) * CAST(value AS DECIMAL(10,2))) AS s2
+  FROM events GROUP BY 1
+), ms AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / n AS mu,
+         sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+              / (n - 1)) AS sigma
+  FROM stats
+)
+SELECT e.event_id, e.event_type, round((e.value - m.mu) / m.sigma, 6) AS z
+FROM events e JOIN ms m ON e.event_type = m.event_type
+WHERE m.n > 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Per-key EWMA (integer-exact linear recurrence)
 
 
@@ -1483,6 +1551,7 @@ QUERIES = {
     "boilerplate_gram_frac": boilerplate_gram_frac,
     "bigram_lm_scores": bigram_lm_scores,
     "user_value_ewma": user_value_ewma,
+    "event_value_zscores": event_value_zscores,
 }
 
 ORACLES = {
@@ -1510,4 +1579,5 @@ ORACLES = {
     "boilerplate_gram_frac": BOILERPLATE_SQL,
     "bigram_lm_scores": BIGRAM_LM_SQL,
     "user_value_ewma": USER_VALUE_EWMA_SQL,
+    "event_value_zscores": EVENT_VALUE_ZSCORES_SQL,
 }

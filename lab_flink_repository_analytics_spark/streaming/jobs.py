@@ -155,6 +155,7 @@ def clicks_before_errors_stream(
     errors: DataFrame,
     clicks: DataFrame,
     window_seconds: float = 600.0,
+    how: str = "inner",
 ) -> DataFrame:
     """Stream–stream interval join: each error event pairs with the same
     user's clicks from the preceding ``window_seconds`` (the streaming twin
@@ -164,6 +165,13 @@ def clicks_before_errors_stream(
     watermark plus the explicit time-range predicate, so click state is
     dropped once no future error can reach back to it (state TTL =
     watermark delay + window; no unbounded buffering at scale).
+
+    ``how="left_outer"`` is Flink's OUTER interval join: an error with no
+    in-window click still emits (with NULL click columns) — but only once
+    the watermark passes the point where a matching click could still
+    arrive, so outer rows surface on a LATER micro-batch than their
+    event (the watermark is advanced between batches, exactly as in
+    Flink's watermark-driven cleanup timers).
     """
     e = errors.select(
         F.col("user_id").alias("e_user"),
@@ -183,6 +191,7 @@ def clicks_before_errors_stream(
             F.col("c_ts")
             >= F.col("e_ts") - F.expr(f"INTERVAL {int(window_seconds)} SECOND")
         ),
+        how,
     ).select(
         F.col("e_user").alias("user_id"), "error_id", "e_ts", "click_id", "c_ts"
     )

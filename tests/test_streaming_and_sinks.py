@@ -736,3 +736,62 @@ def test_streaming_word_topk_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = [(r["word"], r["cnt"]) for r in jobs.read_topk(spark, store, 3).collect()]
     assert got == [("a", 3), ("d", 3), ("b", 2)]  # tie a/d broken by word
+
+
+def test_stream_stream_outer_interval_join_emits_on_watermark(spark, tmp_path):
+    # left-outer: error 101 has no in-window click; its NULL-click row may
+    # only surface after the watermark passes its window — i.e. on a LATER
+    # run whose input advances event time (Flink outer interval semantics)
+    src_e = str(tmp_path / "errors")
+    src_c = str(tmp_path / "clicks")
+    out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, user_id long, ts timestamp"
+
+    def run_once():
+        errors = jobs.stream_source(spark, src_e, schema, "ts", "10 minutes")
+        clicks = jobs.stream_source(spark, src_c, schema, "ts", "10 minutes")
+        joined = jobs.clicks_before_errors_stream(
+            errors, clicks, 600.0, how="left_outer"
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda b, _: None
+                if b.isEmpty()
+                else b.write.mode("append").parquet(out)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(100, 1, datetime(2021, 1, 1, 10, 0, 0)), (101, 2, datetime(2021, 1, 1, 10, 0, 0))],
+        schema,
+    ).write.parquet(src_e)
+    spark.createDataFrame(
+        [(1, 1, datetime(2021, 1, 1, 9, 55, 0))],  # match for 100 only
+        schema,
+    ).write.parquet(src_c)
+    run_once()
+    matched = {
+        (r["error_id"], r["click_id"]) for r in spark.read.parquet(out).collect()
+    }
+    assert (100, 1) in matched
+    assert not any(e == 101 for e, _ in matched)  # unmatched not yet flushed
+
+    # later traffic pushes the watermark far past error 101's window
+    spark.createDataFrame(
+        [(999, 9, datetime(2021, 1, 1, 13, 0, 0))], schema
+    ).write.mode("append").parquet(src_c)
+    spark.createDataFrame(
+        [(998, 9, datetime(2021, 1, 1, 13, 0, 0))], schema
+    ).write.mode("append").parquet(src_e)
+    run_once()
+    run_once()  # one more cycle: outer flush uses the PREVIOUS run's watermark
+    got = {
+        (r["error_id"], r["click_id"]) for r in spark.read.parquet(out).collect()
+    }
+    assert (101, None) in got, got
