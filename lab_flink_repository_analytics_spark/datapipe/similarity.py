@@ -503,3 +503,62 @@ def hard_negatives(
             F.round("score", 6).alias("cos_sim"),
         )
     )
+
+
+def kmeans_lloyd_df(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means in pure DataFrame ops, engine-exact:
+    returns the final (``id_col``, cluster_id) assignment.
+
+    Determinism contract (what makes a DuckDB oracle possible where
+    MLlib's float k-means is not): init = the k lowest-id vectors
+    (:func:`sampled_centroids`); assignment = cosine argmax with
+    (cs DESC, cid) tie-break; update = per-dimension EXACT-decimal mean
+    rounded to 6 places (order-independent across partitions, same as
+    :func:`group_centroids`).  Empty clusters keep their previous
+    centroid.
+
+    Scale shape per iteration: assignment is the inlined-quantizer
+    projection (NO shuffle — centroids are driver-held model state,
+    k ≤ MAX_INLINE_CENTROIDS by contract, exactly how MLlib holds
+    centers); the update is one (cluster, dim) hash aggregation.  The
+    driver round-trips k×dim scalars per iteration — bounded model
+    state, never data.
+    """
+    cents = [
+        {"cid": r["cid"], "cv": [float(x) for x in r["cv"]]}
+        for r in sampled_centroids(vectors, k, id_col, vec_col).collect()
+    ]
+    asg = None
+    for _ in range(iters):
+        asg = _inline_assignments(vectors, cents, 1, id_col, vec_col)
+        upd = (
+            asg.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast("double").cast("decimal(30,15)"))
+                    .cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("m")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .collect()
+        )
+        new = {r["cid"]: [float(x) for x in r["cv"]] for r in upd}
+        cents = [
+            {"cid": c["cid"], "cv": new.get(c["cid"], c["cv"])} for c in cents
+        ]
+    return asg.select(F.col("id").alias(id_col), F.col("cid").alias("cluster_id"))

@@ -1248,6 +1248,59 @@ FROM a1 LEFT JOIN dropped d ON a1.vec_id = d.vec_id
 """
 
 
+KMEANS_K, KMEANS_ITERS = 8, 2
+
+
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means as a first-class operator
+    (datapipe/similarity.py::kmeans_lloyd_df): k=8, 2 iterations,
+    lowest-id init, exact-decimal centroid means — deterministic enough
+    that the DuckDB oracle unrolls the same two iterations in SQL."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return SIM.kmeans_lloyd_df(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+
+
+def _kmeans_sql() -> str:
+    def assign(src: str, cents: str, out: str) -> str:
+        return f"""
+p_{out} AS (
+  SELECT e.vec_id, e.v, c.cid, {_cos_sql("e.v", "c.cv")} AS cs
+  FROM {src} e, {cents} c
+), r_{out} AS (
+  SELECT vec_id, v, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+  FROM p_{out}
+), {out} AS (SELECT vec_id, v, cid FROM r_{out} WHERE rn = 1)"""
+
+    def update(asg: str, prev: str, out: str) -> str:
+        return f"""
+m_{out} AS (
+  SELECT cid, pos,
+         round(CAST(sum(CAST(CAST(v[pos] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+               / count(*), 6) AS m
+  FROM {asg}, unnest(generate_series(1, len(v))) AS u(pos)
+  GROUP BY 1, 2
+), l_{out} AS (
+  SELECT cid, list(m ORDER BY pos) AS cv FROM m_{out} GROUP BY 1
+), {out} AS (
+  -- empty clusters keep their previous centroid
+  SELECT p.cid, coalesce(l.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN l_{out} l ON p.cid = l.cid
+)"""
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {KMEANS_K}),
+{assign("e", "c0", "a1").lstrip()},
+{update("a1", "c0", "c1").lstrip()},
+{assign("e", "c1", "a2").lstrip()}
+SELECT vec_id, cid AS cluster_id FROM a2
+"""
+
+
+KMEANS_SQL = _kmeans_sql()
+
+
 HARD_NEG_K = 5
 
 
@@ -2701,6 +2754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_orders": grouping_sets_orders,
         "semantic_dedup": semantic_dedup,
         "hard_negative_mining": hard_negative_mining,
+        "kmeans_clusters": kmeans_clusters,
         **TPCH.QUERIES,
         **AX.QUERIES,
     }
@@ -2778,6 +2832,7 @@ def oracle_sql() -> dict[str, str]:
         "grouping_sets_orders": GROUPING_SETS_ORDERS_SQL,
         "semantic_dedup": SEMDEDUP_SQL,
         "hard_negative_mining": HARD_NEG_SQL,
+        "kmeans_clusters": KMEANS_SQL,
         **TPCH.ORACLES,
         **AX.ORACLES,
     }

@@ -448,3 +448,22 @@ def test_bigram_lm_scores_rare_bigrams_score_higher(spark):
     assert got[1]["n_bigrams"] == 5 and got[2]["n_bigrams"] == 5
     # doc 2's rare bigrams must make it less probable than doc 1
     assert got[2]["avg_neg_logprob"] > got[1]["avg_neg_logprob"]
+
+
+def test_kmeans_lloyd_separates_directions_and_is_deterministic(spark):
+    # ids 0/1 seed the two clusters (lowest-id init) in orthogonal
+    # directions; every other point lands with its direction
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])] + [
+        (i, [1.0, 0.05 * (i % 3)]) for i in range(10, 20)
+    ] + [(i, [0.04 * (i % 4), 1.0]) for i in range(20, 30)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {r["vec_id"]: r["cluster_id"] for r in SIM.kmeans_lloyd_df(emb, k=2, iters=2).collect()}
+    assert all(got[i] == got[0] for i in range(10, 20))
+    assert all(got[i] == got[1] for i in range(20, 30))
+    assert got[0] != got[1]
+    # reshard determinism: same assignment under a different partitioning
+    again = {
+        r["vec_id"]: r["cluster_id"]
+        for r in SIM.kmeans_lloyd_df(emb.repartition(7), k=2, iters=2).collect()
+    }
+    assert again == got
