@@ -276,3 +276,49 @@ def exact_dedup_stream(
     return docs.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         [fingerprint_col]
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental per-key integer EWMA (streaming twin of
+# datapipe/timeseries.py::ewma_int_df)
+
+EWMA_SCHEMA = "user_id bigint, n_events bigint, ewma_scaled bigint"
+_EWMA_STATE_SCHEMA = "n bigint, y bigint"
+
+
+def _ewma_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    """Fold this batch's (ord-sorted) scaled values into (n, y) state.
+
+    Same bit-exact recurrence as the batch operator — α=1/5,
+    y = (4·y + x) DIV 5 over half-up ×1000 fixed-point values — so a
+    stream replay of any prefix equals the batch fold of that prefix.
+    Within a batch rows fold in event order; across batches arrival order
+    governs (the Flink keyed-stream contract).
+    """
+    (user_id,) = key
+    n, y = state.get if state.exists else (0, None)
+    batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    for v in batch["value"]:
+        x = int(v * 1000 + 0.5)  # half-up: non-negative values by contract
+        y = x if y is None else (4 * y + x) // 5
+        n += 1
+    state.update((n, y))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "ewma_scaled": [y]})
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    """Update-mode stream of per-user EWMA state (``EWMA_SCHEMA``); one
+    refreshed row per user per micro-batch that touched them.  State per
+    key is two scalars — the minimal-footprint end of the keyed-state
+    spectrum (RocksDB at scale, TTL via timeout for dormant keys)."""
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ewma_update,
+            EWMA_SCHEMA,
+            _EWMA_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -795,3 +795,62 @@ def test_stream_stream_outer_interval_join_emits_on_watermark(spark, tmp_path):
         (r["error_id"], r["click_id"]) for r in spark.read.parquet(out).collect()
     }
     assert (101, None) in got, got
+
+
+def test_streaming_ewma_matches_batch_operator(spark, tmp_path):
+    # two micro-batches (batch 2 strictly later in event time so stream
+    # arrival order == the batch operator's global (ts, event_id) order);
+    # final streamed state must equal the batch integer fold exactly
+    from lab_flink_repository_analytics_spark.datapipe import timeseries as TS
+    from lab_flink_repository_analytics_spark.streaming import stateful
+
+    src = str(tmp_path / "events")
+    out = str(tmp_path / "ewma")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, user_id long, ts timestamp, value double"
+
+    def run_once():
+        events = (
+            spark.readStream.schema(schema).parquet(src).withWatermark("ts", "1 day")
+        )
+        def _upsert(batch_df, _):
+            if not batch_df.isEmpty():
+                sinks.upsert_by_key(
+                    batch_df.sparkSession, batch_df, out, ["user_id"]
+                )
+        q = (
+            stateful.ewma_stream(events)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(_upsert)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    batch1 = [
+        (1, 1, datetime(2021, 1, 1, 10), 10.0),
+        (2, 1, datetime(2021, 1, 1, 11), 20.0),
+        (3, 2, datetime(2021, 1, 1, 10), 7.25),
+    ]
+    batch2 = [
+        (4, 1, datetime(2021, 1, 2, 10), 5.5),
+        (5, 3, datetime(2021, 1, 2, 10), 1.0),
+    ]
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+    run_once()
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+    run_once()
+
+    streamed = {
+        r["user_id"]: (r["n_events"], r["ewma_scaled"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch_df = spark.createDataFrame(batch1 + batch2, schema)
+    expect = {
+        r["user_id"]: (r["n_events"], r["ewma_scaled"])
+        for r in TS.ewma_int_df(
+            batch_df, ["user_id"], ["ts", "event_id"], "value"
+        ).collect()
+    }
+    assert streamed == expect
