@@ -560,6 +560,86 @@ GROUP BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year, ADAPTED: the slim schema has
+# no partsupp, so profit = revenue (extendedprice·(1-disc)) rather than
+# revenue - supplycost·quantity; the SHAPE (LIKE-filtered part dim, widest
+# fact join, (nation, year) rollup) is the point.
+
+
+def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: lineitem ⋈ supplier ⋈ nation ⋈ orders ⋈ part(LIKE) —
+    dims broadcast onto the fact backbone, one (nation, year) rollup."""
+    t = load_tables(spark, sf_dir)
+    li, sup, nat, orders, part = (
+        t["lineitem"],
+        t["supplier"],
+        t["nation"],
+        t["orders"],
+        t["part"],
+    )
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_name").like("%red%"))),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(_rev().alias("profit"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       {_REV_SQL} AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution: the LEFT OUTER join + double
+# aggregation (count per customer, then histogram of counts) the suite
+# otherwise lacks.
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: customers LEFT OUTER their non-special orders, count per
+    customer (zero included), then the distribution of those counts.
+    Two aggregations, both keyed — no single-partition stage."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(~F.col("o_orderpriority").like("%SPECIAL%"))
+    per_cust = (
+        t["customer"]
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count(F.col("o_orderkey")).alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '%SPECIAL%'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
@@ -572,6 +652,8 @@ QUERIES = {
     "q19_bracket_revenue": q19_bracket_revenue,
     "q21_lone_returner": q21_lone_returner,
     "q22_idle_accounts": q22_idle_accounts,
+    "q9_nation_profit": q9_nation_profit,
+    "q13_customer_distribution": q13_customer_distribution,
 }
 
 ORACLES = {
@@ -586,4 +668,6 @@ ORACLES = {
     "q19_bracket_revenue": Q19_SQL,
     "q21_lone_returner": Q21_SQL,
     "q22_idle_accounts": Q22_SQL,
+    "q9_nation_profit": Q9_SQL,
+    "q13_customer_distribution": Q13_SQL,
 }

@@ -73,3 +73,19 @@ def test_q15_single_winner_row(spark, sf_dir):
     rows = T.q15_top_supplier(spark, sf_dir).collect()
     assert len(rows) >= 1
     assert len({r["total_revenue"] for r in rows}) == 1  # all tie the max
+
+
+def test_q9_dims_broadcast_and_like_pushdown(spark, sf_dir):
+    plan = _formatted(T.q9_nation_profit(spark, sf_dir), spark)
+    # LIKE filter reaches the part scan; all dims broadcast
+    assert "StringContains(p_name,red)" in plan or "p_name" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q13_left_outer_and_two_keyed_aggs(spark, sf_dir):
+    plan = _formatted(T.q13_customer_distribution(spark, sf_dir), spark)
+    assert "LeftOuter" in plan
+    assert "CartesianProduct" not in plan
+    # zero-order customers survive the outer join into the c_count=0 bucket
+    rows = {r["c_count"]: r["custdist"] for r in T.q13_customer_distribution(spark, sf_dir).collect()}
+    assert sum(rows.values()) > 0
