@@ -296,3 +296,33 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def windowed_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    window: str = "1 hour",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Batch windowed deduplication: keep the FIRST row per key per
+    tumbling time window (the batch twin of streaming
+    ``dropDuplicatesWithinWatermark`` / Flink's first-row dedup).
+
+    "First" = smallest (``ts_col``, ``order_col``) in the window — pass an
+    id as ``order_col`` to break timestamp ties deterministically.  Plan:
+    one hash exchange on (window, keys) + a partial ``WindowGroupLimit``
+    below it (Catalyst prunes each map side to 1 row per group before the
+    shuffle), so shuffle volume is one row per (key, window) per map
+    partition, not the raw stream.
+    """
+    from pyspark.sql import Window as W
+
+    win = F.window(F.col(ts_col), window)
+    order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
+    w = W.partitionBy(win, *[F.col(c) for c in key_cols]).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

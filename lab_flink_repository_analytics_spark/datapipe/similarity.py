@@ -562,3 +562,128 @@ def kmeans_lloyd_df(
             {"cid": c["cid"], "cv": new.get(c["cid"], c["cv"])} for c in cents
         ]
     return asg.select(F.col("id").alias(id_col), F.col("cid").alias("cluster_id"))
+
+
+def covariance_matrix(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    upper_only: bool = True,
+) -> DataFrame:
+    """Sample covariance matrix of the embedding column: (i, j, cov) with
+    1-based dims, upper triangle by default.
+
+    Engine-exact two-pass moments: Σ x_i·x_j and Σ x_i are DECIMAL sums of
+    deterministic double products (order-independent at any partitioning),
+    combined as (Σxy − Σx·Σy/n)/(n−1) in double, rounded to 6.  Plan: the
+    dim² pair expansion happens per row and meets a map-side partial
+    aggregation immediately — shuffle volume is dim²·#partitions rows
+    (model-sized), never data-scale; the dim-level sums rollup reuses the
+    same scan.  This is the X^T X building block of distributed PCA
+    (:func:`pca_project`).
+    """
+    v = F.col("v")
+    a = vectors.select(F.col(vec_col).alias("v")).select(
+        F.posexplode(v).alias("i0", "xi"), v.alias("v2")
+    )
+    b = a.select("i0", "xi", F.posexplode("v2").alias("j0", "xj"))
+    if upper_only:
+        b = b.filter(F.col("i0") <= F.col("j0"))
+    mom = b.groupBy("i0", "j0").agg(
+        F.sum(
+            (F.col("xi").cast("double") * F.col("xj").cast("double")).cast(
+                "decimal(30,15)"
+            )
+        ).alias("sxy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dims = (
+        vectors.select(F.posexplode(F.col(vec_col)).alias("i0", "x"))
+        .groupBy("i0")
+        .agg(F.sum(F.col("x").cast("double").cast("decimal(30,15)")).alias("sx"))
+    )
+    d1 = dims.select(F.col("i0").alias("i0"), F.col("sx").alias("si"))
+    d2 = dims.select(F.col("i0").alias("j0"), F.col("sx").alias("sj"))
+    return (
+        mom.join(F.broadcast(d1), "i0")
+        .join(F.broadcast(d2), "j0")
+        .select(
+            (F.col("i0") + 1).cast("int").alias("i"),
+            (F.col("j0") + 1).cast("int").alias("j"),
+            F.round(
+                (
+                    F.col("sxy").cast("double")
+                    - F.col("si").cast("double")
+                    * F.col("sj").cast("double")
+                    / F.col("n")
+                )
+                / (F.col("n") - 1),
+                6,
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_project(
+    vectors: DataFrame,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project embeddings onto their top-k principal components.
+
+    Distributed part: :func:`covariance_matrix` (exact-decimal moments,
+    model-sized shuffle).  Driver part: eigendecomposition of the dim²
+    matrix (numpy ``eigh`` — model state, like k-means centers) with a
+    deterministic sign convention (largest-|coord| entry positive).  The
+    projection itself inlines the components as literals — one narrow
+    codegen pass over the data, no shuffle (same pattern as
+    :func:`_inline_assignments`).  Output: (``id_col``, pc ARRAY<DOUBLE>
+    of length k), coordinates of the MEAN-CENTERED vector.
+    """
+    import numpy as np
+
+    cov_rows = covariance_matrix(vectors, vec_col, upper_only=True).collect()
+    dim = max(r["j"] for r in cov_rows)
+    cov = np.zeros((dim, dim))
+    for r in cov_rows:
+        cov[r["i"] - 1, r["j"] - 1] = r["cov"]
+        cov[r["j"] - 1, r["i"] - 1] = r["cov"]
+    vals, vecs = np.linalg.eigh(cov)
+    comps = []
+    for c in range(1, k + 1):
+        comp = vecs[:, -c]
+        # deterministic sign: the largest-magnitude coordinate is positive
+        pivot = int(np.argmax(np.abs(comp)))
+        if comp[pivot] < 0:
+            comp = -comp
+        comps.append([float(x) for x in comp])
+    mean = [
+        float(x)
+        for x in np.array(
+            vectors.agg(
+                *[
+                    F.avg(F.col(vec_col)[i].cast("double")).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            ).collect()[0]
+        )
+    ]
+    mean_lit = F.array(*[F.lit(m) for m in mean])
+    centered = F.zip_with(
+        F.col(vec_col), mean_lit, lambda x, m: x.cast("double") - m
+    )
+    coords = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    centered,
+                    F.array(*[F.lit(x) for x in comp]),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for comp in comps
+        ]
+    )
+    return vectors.select(F.col(id_col).alias(id_col), coords.alias("pc"))

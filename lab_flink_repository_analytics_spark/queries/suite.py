@@ -1248,6 +1248,59 @@ FROM a1 LEFT JOIN dropped d ON a1.vec_id = d.vec_id
 """
 
 
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle sample covariance of the embedding dims
+    (datapipe/similarity.py::covariance_matrix) — the X^T X building
+    block of distributed PCA, exact-decimal moments."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return SIM.covariance_matrix(emb)
+
+
+EMBEDDING_COVARIANCE_SQL = """
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.i, b.j, v[a.i] * v[b.j] AS p
+  FROM e,
+       unnest(generate_series(1, len(v))) AS a(i),
+       unnest(generate_series(1, len(v))) AS b(j)
+  WHERE a.i <= b.j
+),
+m AS (
+  SELECT i, j, sum(CAST(p AS DECIMAL(30,15))) AS sxy, count(*) AS n
+  FROM pairs GROUP BY 1, 2
+),
+d AS (
+  SELECT i, sum(CAST(v[i] AS DECIMAL(30,15))) AS sx
+  FROM e, unnest(generate_series(1, len(v))) AS a(i) GROUP BY 1
+)
+SELECT m.i, m.j,
+       round((CAST(sxy AS DOUBLE) - CAST(d1.sx AS DOUBLE) * CAST(d2.sx AS DOUBLE) / n)
+             / (n - 1), 6) AS cov
+FROM m JOIN d d1 ON m.i = d1.i JOIN d d2 ON m.j = d2.i
+"""
+
+
+def windowed_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch windowed dedup (datapipe/dedup.py::windowed_dedup): first
+    event per (user, type) per 1h tumbling window, ties broken by id —
+    the batch twin of streaming dropDuplicatesWithinWatermark."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return DD.windowed_dedup(
+        ev, ["user_id", "event_type"], "ts", "1 hour", order_col="event_id"
+    ).select("event_id", "user_id", "event_type", "ts")
+
+
+WINDOWED_EVENT_DEDUP_SQL = """
+SELECT event_id, user_id, event_type, ts FROM (
+  SELECT event_id, user_id, event_type, ts,
+         row_number() OVER (
+           PARTITION BY time_bucket(INTERVAL '1 hour', ts), user_id, event_type
+           ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 KMEANS_K, KMEANS_ITERS = 8, 2
 
 
@@ -2755,6 +2808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": semantic_dedup,
         "hard_negative_mining": hard_negative_mining,
         "kmeans_clusters": kmeans_clusters,
+        "embedding_covariance": embedding_covariance,
+        "windowed_event_dedup": windowed_event_dedup,
         **TPCH.QUERIES,
         **AX.QUERIES,
     }
@@ -2833,6 +2888,8 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": SEMDEDUP_SQL,
         "hard_negative_mining": HARD_NEG_SQL,
         "kmeans_clusters": KMEANS_SQL,
+        "embedding_covariance": EMBEDDING_COVARIANCE_SQL,
+        "windowed_event_dedup": WINDOWED_EVENT_DEDUP_SQL,
         **TPCH.ORACLES,
         **AX.ORACLES,
     }

@@ -467,3 +467,51 @@ def test_kmeans_lloyd_separates_directions_and_is_deterministic(spark):
         for r in SIM.kmeans_lloyd_df(emb.repartition(7), k=2, iters=2).collect()
     }
     assert again == got
+
+
+def test_windowed_dedup_keeps_first_per_window(spark):
+    from datetime import datetime as dt
+
+    rows = [
+        (1, "u", "click", dt(2021, 1, 1, 10, 5)),
+        (2, "u", "click", dt(2021, 1, 1, 10, 40)),  # same 10:00 window → dropped
+        (3, "u", "click", dt(2021, 1, 1, 11, 1)),   # next window → kept
+        (4, "u", "view", dt(2021, 1, 1, 10, 50)),   # other key → kept
+        (5, "v", "click", dt(2021, 1, 1, 10, 5)),   # tie ts with id 6
+        (6, "v", "click", dt(2021, 1, 1, 10, 5)),   # id tie-break → dropped
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, event_type string, ts timestamp")
+    kept = sorted(
+        r["event_id"]
+        for r in DD.windowed_dedup(
+            df, ["user_id", "event_type"], "ts", "1 hour", order_col="event_id"
+        ).collect()
+    )
+    assert kept == [1, 3, 4, 5]
+
+
+def test_pca_project_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    X = rng.normal(size=(80, 6))
+    X[:, 0] *= 5.0  # dominant direction
+    rows = [(i, [float(x) for x in X[i]]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {r["vec_id"]: r["pc"] for r in SIM.pca_project(emb, k=2).collect()}
+
+    Xc = X - X.mean(axis=0)
+    cov = np.round(np.cov(X, rowvar=False), 6)  # operator rounds cov to 6
+    vals, vecs = np.linalg.eigh(cov)
+    expect_cols = []
+    for c in (1, 2):
+        comp = vecs[:, -c]
+        pivot = int(np.argmax(np.abs(comp)))
+        if comp[pivot] < 0:
+            comp = -comp
+        expect_cols.append(Xc @ comp)
+    for i in range(80):
+        for c in range(2):
+            assert abs(got[i][c] - expect_cols[c][i]) < 1e-6, (i, c)
+    # first PC captures the dominant axis: far larger variance than second
+    assert np.var(expect_cols[0]) > 5 * np.var(expect_cols[1])
