@@ -59,6 +59,11 @@ SHOW = [
     ("hard_negative_mining", "broadcast query set with label inequality in the join; per-query window top-k"),
     ("boilerplate_gram_frac", "positions pre-aggregated to doc-gram multiplicities; frequent-gram join back"),
     ("bigram_lm_scores", "doc-bigram multiplicities feed both the model rollup and the scoring join"),
+    ("kmeans_clusters", "Lloyd iteration: inlined-centroid assignment (no shuffle) + one (cluster,dim) agg"),
+    ("embedding_covariance", "dim² pair expansion meets map-side partials; shuffle is model-sized"),
+    ("user_value_ewma", "per-key sorted-array fold: ONE exchange, recurrence in codegen aggregate"),
+    ("windowed_event_dedup", "first-per-(key,window): partial WindowGroupLimit below the single shuffle"),
+    ("event_value_zscores", "group moments broadcast back; fact table never shuffles"),
 ]
 
 
