@@ -1,0 +1,147 @@
+"""Distributed BPE merge training (Sennrich et al. 2016) in pure
+DataFrame ops — tokenizer training as a corpus operator, the byte-pair
+sibling of :mod:`datapipe.similarity`'s Lloyd k-means.
+
+Shape of the algorithm on Spark:
+
+* the corpus collapses ONCE into the word-frequency table (Heaps' law:
+  distinct words ≪ corpus tokens, and the word count is a classic
+  map-side-partial hash aggregate — the only pass that ever touches
+  100 TB);
+* each merge iteration is one hash aggregate over (adjacent-pair →
+  Σ word_freq) on the word table plus a ``TakeOrderedAndProject`` argmax
+  (no single-partition sort — Spark plans ``orderBy().first()`` as a
+  top-1 per partition + driver merge);
+* the ONLY driver-held state is the model itself: one (left, right,
+  freq) triple per iteration, exactly like k-means holding k×dim
+  centroid scalars — the word table never collects;
+* applying a merge is a codegen string ``replace`` on the word's
+  symbol-sequence representation — no Python hop, no shuffle.
+
+Greedy left-to-right non-overlapping merge application (the BPE
+contract) is encoded purely in the representation: a word's symbol
+sequence is stored as ``SEP s1 SEP SEP s2 SEP ... SEP`` — every symbol
+wrapped in single separators, symbols split by the doubled separator.
+The pair (a, b) then occurs as the substring ``SEP a SEP SEP b SEP``,
+adjacent occurrences never share characters, and one plain ``replace``
+(left-to-right by definition in both Spark and DuckDB) performs the
+exact greedy merge — including the aaa → (aa)a case.  The separator is
+U+001F (unit separator), which cannot appear inside whitespace-split
+tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lab_flink_repository_analytics_spark.datapipe.text import tokens
+
+#: symbol-boundary marker inside a word representation (cannot occur in
+#: whitespace-tokenized input words)
+SEP = "\u001f"
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, wc) over the corpus — the single corpus-scale pass."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+    )
+
+
+def _initial_rep(word) -> F.Column:
+    """Word → SEP-wrapped single-character symbol sequence."""
+    chars = F.regexp_extract_all(word, F.lit("."), 0)
+    return F.concat(F.lit(SEP), F.array_join(chars, SEP + SEP), F.lit(SEP))
+
+
+def _pair_counts(words_rep: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair frequencies, weighted by word frequency.
+
+    One hash aggregate over the WORD table (not the corpus); symbols are
+    recovered from the representation by stripping the outer separators
+    and splitting on the doubled one.
+    """
+    syms = F.split(
+        F.expr("substring(rep, 2, length(rep) - 2)"), SEP + SEP
+    )
+    n = F.size(syms)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(syms, i.cast("int")),
+                F.lit(" "),
+                F.element_at(syms, (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        words_rep.select(F.col("wc"), F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("wc").cast("bigint").alias("freq"))
+    )
+
+
+def apply_merge(words_rep: DataFrame, left: str, right: str) -> DataFrame:
+    """Greedy left-to-right merge of (left, right) — one codegen replace."""
+    return words_rep.withColumn(
+        "rep",
+        F.replace(
+            F.col("rep"),
+            F.lit(SEP + left + SEP + SEP + right + SEP),
+            F.lit(SEP + left + right + SEP),
+        ),
+    )
+
+
+def train_merges(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns the model as a DataFrame
+    (step, lft, rgt, merged, pair_freq), step 1-based.
+
+    Ties break deterministically: highest frequency, then lexicographically
+    smallest ``"left right"`` pair string — pinned identically in the
+    DuckDB oracle (``ORDER BY freq DESC, pair ASC LIMIT 1``).
+    """
+    from lab_flink_repository_analytics_spark.session import persist_bounded
+
+    cur = persist_bounded(
+        word_frequencies(docs, text_col).select(
+            "w", "wc", _initial_rep(F.col("w")).alias("rep")
+        ),
+        "bpe.words",
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        top = (
+            _pair_counts(cur)
+            .orderBy(F.desc("freq"), F.asc("pair"))
+            .first()
+        )
+        if top is None:
+            break
+        left, right = top["pair"].split(" ", 1)
+        merges.append((step, left, right, left + right, top["freq"]))
+        cur = apply_merge(cur, left, right)
+    return spark.createDataFrame(
+        merges, "step int, lft string, rgt string, merged string, pair_freq bigint"
+    )
+
+
+def segment_words(words_rep: DataFrame) -> DataFrame:
+    """(word, subwords[]) under the current merge state — tokenizer
+    application, row-local."""
+    return words_rep.select(
+        "w",
+        F.split(F.expr("substring(rep, 2, length(rep) - 2)"), SEP + SEP).alias(
+            "subwords"
+        ),
+    )

@@ -523,3 +523,116 @@ def bigram_logprob_scores_df(
             .alias("avg_neg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-substring exposure (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better": corpus substrings repeated
+# verbatim are memorization fuel; the per-doc signal is the fraction of
+# tokens covered by corpus-duplicated k-token grams)
+
+
+def duplicate_span_stats_df(
+    docs,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document duplicate-substring coverage: the fraction of a doc's
+    tokens covered by k-token grams occurring ≥ ``min_count`` times in the
+    whole corpus (self-counts included — a span pasted twice into one doc
+    is exactly as memorizable as one shared across docs).
+
+    The suffix-array span-merge of the paper collapses here to closed-form
+    interval math: every duplicated gram covers ``[pos, pos+k)`` and all
+    intervals share length k, so the merged union length is simply
+    ``Σ min(k, next_pos − pos)`` over the per-doc sorted duplicated
+    positions (+k for the last one) — one ``lead`` window, no interval
+    sweep state.
+
+    Scale shape: gram positions are pre-aggregated to (doc, gram,
+    positions[]) in the first shuffle, so the corpus-frequency rollup and
+    the duplicated-gram join move one row per DISTINCT doc-gram, never raw
+    positions; the ``lead`` window runs only over DUPLICATED positions
+    (a small fraction of the corpus by construction — ``min_count`` prunes
+    the unique long tail).  Output: (doc_id, n_tokens, dup_positions,
+    dup_token_cov, dup_frac) for EVERY document (zeros when clean).
+    """
+    from pyspark.sql import Window
+
+    from lab_flink_repository_analytics_spark.session import rebalance
+
+    toks = tokens(text_col)
+    n = F.size(toks)
+    gram_pos = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                md5_hash32(
+                    F.concat_ws(
+                        " ",
+                        *[
+                            F.element_at(toks, (i + j + 1).cast("int"))
+                            for j in range(k)
+                        ],
+                    )
+                ).alias("g"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,g:bigint>>"))
+    pairs = (
+        rebalance(docs)
+        .select(F.col(id_col).alias("doc_id"), F.explode(gram_pos).alias("pg"))
+        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.sort_array(F.collect_list("pos")).alias("poss"))
+    )
+    dupg = (
+        pairs.groupBy("g")
+        .agg(F.sum(F.size("poss")).alias("tot"))
+        .filter(F.col("tot") >= min_count)
+        .select("g")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    per = (
+        pairs.join(dupg, "g")
+        .select("doc_id", F.explode("poss").alias("pos"))
+        .withColumn("nxt", F.lead("pos").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("dup_positions"),
+            F.sum(
+                F.coalesce(F.least(F.lit(k), F.col("nxt") - F.col("pos")), F.lit(k))
+            )
+            .cast("bigint")
+            .alias("dup_token_cov"),
+        )
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokens(text_col)).cast("bigint").alias("n_tokens"),
+        )
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_positions"), F.lit(0)).cast("bigint").alias(
+                "dup_positions"
+            ),
+            F.coalesce(F.col("dup_token_cov"), F.lit(0)).cast("bigint").alias(
+                "dup_token_cov"
+            ),
+            F.when(
+                F.coalesce(F.col("dup_token_cov"), F.lit(0)) > 0,
+                F.round(
+                    F.col("dup_token_cov") * F.lit(1.0) / F.col("n_tokens"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )

@@ -1525,6 +1525,126 @@ FROM arr
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact duplicate-substring coverage (Lee et al. 2022) + BPE merge training
+
+DUP_SPAN_K, DUP_SPAN_MIN = 8, 2
+
+
+def duplicate_text_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicate-substring coverage (datapipe/text.py::
+    duplicate_span_stats_df): fraction of tokens covered by 8-grams that
+    occur ≥ 2 times anywhere in the corpus — the exact-substring-dedup
+    signal of Lee et al. 2022, with the suffix-array span merge collapsed
+    to closed-form ``Σ min(k, next_pos − pos)`` interval math."""
+    from lab_flink_repository_analytics_spark.datapipe import text as TX
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TX.duplicate_span_stats_df(docs, k=DUP_SPAN_K, min_count=DUP_SPAN_MIN)
+
+
+def _dup_span_sql() -> str:
+    k = DUP_SPAN_K
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+p AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5({parts}), 1, 8))::BIGINT AS g
+  FROM toks, unnest(generate_series(1, len(t) - {k - 1})) AS u(i)
+  WHERE len(t) >= {k}
+),
+dupg AS (
+  SELECT g FROM (SELECT g, count(*) AS c FROM p GROUP BY 1)
+  WHERE c >= {DUP_SPAN_MIN}
+),
+led AS (
+  SELECT doc_id, pos,
+         lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM p JOIN dupg USING (g)
+),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_positions,
+         CAST(sum(coalesce(least({k}, nxt - pos), {k})) AS BIGINT) AS dup_token_cov
+  FROM led GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(coalesce(per.dup_positions, 0) AS BIGINT) AS dup_positions,
+       CAST(coalesce(per.dup_token_cov, 0) AS BIGINT) AS dup_token_cov,
+       CASE WHEN coalesce(per.dup_token_cov, 0) > 0
+            THEN round(per.dup_token_cov * 1.0 / len(string_split(d.text, ' ')), 6)
+            ELSE 0.0 END AS dup_frac
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
+DUP_SPAN_SQL = _dup_span_sql()
+
+BPE_N_MERGES = 3
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 3 BPE merges learned from the corpus (datapipe/bpe.py::
+    train_merges) — tokenizer training as a distributed operator; the
+    oracle unrolls the identical three iterations in SQL (the k-means
+    pattern), sharing the SEP-wrapped greedy-merge representation."""
+    from lab_flink_repository_analytics_spark.datapipe import bpe as BPE
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return BPE.train_merges(spark, docs, n_merges=BPE_N_MERGES)
+
+
+def _bpe_merges_sql() -> str:
+    sep = "chr(31)"
+    dsep = f"{sep} || {sep}"
+    out = [
+        """
+WITH w AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wc
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1
+),
+r0 AS (
+  SELECT w, wc,
+         chr(31) || array_to_string(regexp_extract_all(w, '.'), chr(31) || chr(31)) || chr(31) AS rep
+  FROM w
+)"""
+    ]
+    for i in range(1, BPE_N_MERGES + 1):
+        prev = f"r{i - 1}"
+        out.append(
+            f""",
+p{i} AS (
+  SELECT t[i] || ' ' || t[i+1] AS pair, CAST(sum(wc) AS BIGINT) AS freq
+  FROM (SELECT wc, string_split(substr(rep, 2, length(rep) - 2), {dsep}) AS t
+        FROM {prev}),
+       unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2 GROUP BY 1
+),
+t{i} AS (
+  SELECT string_split(pair, ' ')[1] AS lft, string_split(pair, ' ')[2] AS rgt, freq
+  FROM p{i} ORDER BY freq DESC, pair ASC LIMIT 1
+),
+r{i} AS (
+  SELECT {prev}.w, {prev}.wc,
+         replace({prev}.rep,
+                 {sep} || t{i}.lft || {dsep} || t{i}.rgt || {sep},
+                 {sep} || t{i}.lft || t{i}.rgt || {sep}) AS rep
+  FROM {prev} CROSS JOIN t{i}
+)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS step, lft, rgt, lft || rgt AS merged, "
+        f"freq AS pair_freq FROM t{i}"
+        for i in range(1, BPE_N_MERGES + 1)
+    )
+    return "".join(out) + "\n" + selects
+
+
+BPE_MERGES_SQL = _bpe_merges_sql()
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_top_terms": bm25_top_terms,
@@ -1552,6 +1672,8 @@ QUERIES = {
     "bigram_lm_scores": bigram_lm_scores,
     "user_value_ewma": user_value_ewma,
     "event_value_zscores": event_value_zscores,
+    "duplicate_text_spans": duplicate_text_spans,
+    "bpe_merges": bpe_merges,
 }
 
 ORACLES = {
@@ -1580,4 +1702,6 @@ ORACLES = {
     "bigram_lm_scores": BIGRAM_LM_SQL,
     "user_value_ewma": USER_VALUE_EWMA_SQL,
     "event_value_zscores": EVENT_VALUE_ZSCORES_SQL,
+    "duplicate_text_spans": DUP_SPAN_SQL,
+    "bpe_merges": BPE_MERGES_SQL,
 }

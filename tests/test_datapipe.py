@@ -515,3 +515,72 @@ def test_pca_project_matches_numpy(spark):
             assert abs(got[i][c] - expect_cols[c][i]) < 1e-6, (i, c)
     # first PC captures the dominant axis: far larger variance than second
     assert np.var(expect_cols[0]) > 5 * np.var(expect_cols[1])
+
+
+def test_duplicate_span_stats_merges_overlapping_intervals(spark):
+    # doc 1 and 2 share the 5-token run "a b c d e": with k=3 that is
+    # three duplicated gram positions (0,1,2) per doc, whose length-3
+    # intervals overlap — merged coverage must be 5 tokens, not 9
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e x y z"),
+            (2, "q a b c d e r s"),
+            (3, "u v w u2 v2 w2"),  # clean doc, no duplicated grams
+            (4, "t1 t2"),  # shorter than k
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in TX.duplicate_span_stats_df(docs, k=3, min_count=2).collect()
+    }
+    assert out[1]["dup_positions"] == 3 and out[1]["dup_token_cov"] == 5
+    assert out[1]["dup_frac"] == round(5 / 8, 6)
+    assert out[2]["dup_positions"] == 3 and out[2]["dup_token_cov"] == 5
+    assert out[3]["dup_token_cov"] == 0 and out[3]["dup_frac"] == 0.0
+    assert out[4]["n_tokens"] == 2 and out[4]["dup_frac"] == 0.0
+
+
+def test_duplicate_span_stats_counts_within_doc_repeats(spark):
+    # the duplicated span lives TWICE in one doc — self-counts qualify
+    docs = spark.createDataFrame(
+        [(1, "p q r z z p q r"), (2, "m n o m2 n2 o2")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in TX.duplicate_span_stats_df(docs, k=3, min_count=2).collect()
+    }
+    # positions 0 and 5 both hold "p q r": disjoint intervals, 6 tokens
+    assert out[1]["dup_positions"] == 2 and out[1]["dup_token_cov"] == 6
+    assert out[2]["dup_token_cov"] == 0
+
+
+def test_bpe_train_merges_greedy_and_tiebreak(spark):
+    from lab_flink_repository_analytics_spark.datapipe import bpe as BPE
+
+    # classic corpus: "low" x2, "lower" x1 -> 'l o' and 'o w' both occur 3
+    # times; tie breaks to the lexicographically smaller pair 'l o'
+    docs = spark.createDataFrame(
+        [(1, "low low lower")], "doc_id bigint, text string"
+    )
+    merges = BPE.train_merges(spark, docs, n_merges=2).collect()
+    assert [(m["step"], m["lft"], m["rgt"], m["pair_freq"]) for m in merges] == [
+        (1, "l", "o", 3),
+        (2, "lo", "w", 3),
+    ]
+
+
+def test_bpe_merge_application_is_greedy_left_to_right(spark):
+    from lab_flink_repository_analytics_spark.datapipe import bpe as BPE
+
+    # 'aaaa' -> pairs (a,a) x3; merging (a,a) greedily left-to-right
+    # yields [aa, aa]; 'aaa' yields [aa, a] — the overlap trap
+    docs = spark.createDataFrame([(1, "aaaa aaa")], "doc_id bigint, text string")
+    words = BPE.word_frequencies(docs).select(
+        "w", "wc", BPE._initial_rep(F.col("w")).alias("rep")
+    )
+    merged = BPE.apply_merge(words, "a", "a")
+    segs = {r["w"]: r["subwords"] for r in BPE.segment_words(merged).collect()}
+    assert segs["aaaa"] == ["aa", "aa"]
+    assert segs["aaa"] == ["aa", "a"]
