@@ -98,14 +98,16 @@ def apply_merge(words_rep: DataFrame, left: str, right: str) -> DataFrame:
     )
 
 
-def train_merges(
-    spark: SparkSession,
+def train_state(
     docs: DataFrame,
     n_merges: int = 3,
     text_col: str = "text",
-) -> DataFrame:
-    """Learn ``n_merges`` BPE merges; returns the model as a DataFrame
-    (step, lft, rgt, merged, pair_freq), step 1-based.
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Run the merge loop; returns (merge list, post-merge word table).
+
+    The merge list IS the model — (step, left, right, merged, freq)
+    driver-held scalars; the returned word table (w, wc, rep) carries the
+    fully-merged representation for downstream segmentation.
 
     Ties break deterministically: highest frequency, then lexicographically
     smallest ``"left right"`` pair string — pinned identically in the
@@ -131,8 +133,54 @@ def train_merges(
         left, right = top["pair"].split(" ", 1)
         merges.append((step, left, right, left + right, top["freq"]))
         cur = apply_merge(cur, left, right)
+    return merges, cur
+
+
+def train_merges(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns the model as a DataFrame
+    (step, lft, rgt, merged, pair_freq), step 1-based."""
+    merges, _ = train_state(docs, n_merges, text_col)
     return spark.createDataFrame(
         merges, "step int, lft string, rgt string, merged string, pair_freq bigint"
+    )
+
+
+def doc_token_counts(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-scale tokenizer APPLICATION: per-doc subword token count
+    under the ``n_merges``-merge model trained on the same corpus.
+
+    Scale shape: segmentation happens once per DISTINCT word (the word
+    table), never per occurrence — each doc's count is then one
+    token-explode + an equi-join on the word key + a per-doc rollup.  The
+    word table is vocabulary-sized (Heaps' law), so AQE broadcasts it
+    against the corpus-scale exploded side.  Output: (doc_id, n_words,
+    n_bpe_tokens).
+    """
+    _, merged = train_state(docs, n_merges, text_col)
+    per_word = merged.select(
+        "w",
+        F.size(
+            F.split(F.expr("substring(rep, 2, length(rep) - 2)"), SEP + SEP)
+        ).alias("n_sub"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("w"))
+        .join(per_word, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_bpe_tokens"),
+        )
     )
 
 

@@ -1645,6 +1645,151 @@ r{i} AS (
 BPE_MERGES_SQL = _bpe_merges_sql()
 
 
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc subword token counts under the 3-merge BPE model trained on
+    the corpus itself (datapipe/bpe.py::doc_token_counts) — segmentation
+    runs once per DISTINCT word, the corpus side only explodes + joins."""
+    from lab_flink_repository_analytics_spark.datapipe import bpe as BPE
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return BPE.doc_token_counts(docs, n_merges=BPE_N_MERGES)
+
+
+def _bpe_token_counts_sql() -> str:
+    # reuse the unrolled training CTEs, then segment the word table and
+    # roll per-doc occurrence-weighted subword counts
+    train = _bpe_merges_sql()
+    body = train[: train.rindex("\nSELECT CAST(1")]
+    return (
+        body
+        + f""",
+seg AS (
+  SELECT w,
+         len(string_split(substr(rep, 2, length(rep) - 2), chr(31) || chr(31))) AS n_sub
+  FROM r{BPE_N_MERGES}
+),
+docw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens
+FROM docw JOIN seg USING (w) GROUP BY 1
+"""
+    )
+
+
+BPE_TOKEN_COUNTS_SQL = _bpe_token_counts_sql()
+
+
+# ---------------------------------------------------------------------------
+# Data mixing: temperature-scaled source sampling weights
+
+MIX_TEMP_NOTE = "alpha = 1/2 (sqrt temperature) so both engines compute an IEEE-exact power"
+
+
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain-mixing weights per source (the
+    multilingual/multi-domain resampling rule: p_i ∝ share_i^α flattens
+    head domains and boosts tail ones; α = 0.5 here so the power is an
+    IEEE-correctly-rounded sqrt in BOTH engines — and since
+    sqrt(share) ∝ sqrt(n_tokens), weights normalize identically from the
+    exact integer token counts).
+
+    Scale shape: one partial-agg rollup to #sources rows; the Σ sqrt
+    normalizer is an exact DECIMAL sum over those rows (summation order
+    across groups is engine-dependent for doubles, never for decimals);
+    the weight division is double with pinned operand order.  Output:
+    (source, n_docs, n_tokens, token_share, sample_weight)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("bigint").alias("tot_tokens"),
+        F.sum(F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(28,12)")).alias(
+            "tot_sqrt"
+        ),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double"),
+                6,
+            ).alias("token_share"),
+            F.round(
+                F.sqrt(F.col("n_tokens").cast("double"))
+                / F.col("tot_sqrt").cast("double"),
+                6,
+            ).alias("sample_weight"),
+        )
+    )
+
+
+SOURCE_MIXTURE_SQL = """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+         sum(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,12))) AS tot_sqrt
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 6) AS token_share,
+       round(sqrt(CAST(n_tokens AS DOUBLE)) / CAST(tot_sqrt AS DOUBLE), 6) AS sample_weight
+FROM per CROSS JOIN tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global training order (shard + within-shard position)
+
+TRAIN_ORDER_SHARDS = 8
+
+
+def training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle for training order: every doc gets a
+    reshard-stable (shard, position) from the md5 of a salted doc key —
+    the global random permutation a dataloader consumes, with no global
+    sort: the only exchange is the shard hash partition, and each shard
+    orders independently (#shards in production = O(#output files), so
+    per-shard windows parallelize; 8 here for the fixture).
+
+    Position ties cannot occur (the hash is salted per doc and the
+    tiebreak is doc_id).  Output: (doc_id, shard, pos)."""
+    from lab_flink_repository_analytics_spark.datapipe.text import md5_hash32
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    h = md5_hash32(F.concat(F.lit("ord"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .withColumn("shard", (F.col("h") % TRAIN_ORDER_SHARDS).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+TRAINING_ORDER_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('ord' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(h % {TRAIN_ORDER_SHARDS} AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % {TRAIN_ORDER_SHARDS} ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM h
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_top_terms": bm25_top_terms,
@@ -1674,6 +1819,9 @@ QUERIES = {
     "event_value_zscores": event_value_zscores,
     "duplicate_text_spans": duplicate_text_spans,
     "bpe_merges": bpe_merges,
+    "bpe_token_counts": bpe_token_counts,
+    "source_mixture_weights": source_mixture_weights,
+    "training_order": training_order,
 }
 
 ORACLES = {
@@ -1704,4 +1852,7 @@ ORACLES = {
     "event_value_zscores": EVENT_VALUE_ZSCORES_SQL,
     "duplicate_text_spans": DUP_SPAN_SQL,
     "bpe_merges": BPE_MERGES_SQL,
+    "bpe_token_counts": BPE_TOKEN_COUNTS_SQL,
+    "source_mixture_weights": SOURCE_MIXTURE_SQL,
+    "training_order": TRAINING_ORDER_SQL,
 }

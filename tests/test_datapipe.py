@@ -584,3 +584,51 @@ def test_bpe_merge_application_is_greedy_left_to_right(spark):
     segs = {r["w"]: r["subwords"] for r in BPE.segment_words(merged).collect()}
     assert segs["aaaa"] == ["aa", "aa"]
     assert segs["aaa"] == ["aa", "a"]
+
+
+def test_bpe_doc_token_counts_per_occurrence(spark):
+    from lab_flink_repository_analytics_spark.datapipe import bpe as BPE
+
+    # one merge: corpus "ab ab b" -> top pair (a,b) freq 2 -> 'ab' merges
+    # to one symbol; 'b' stays 1 symbol. doc1 = "ab ab b": 2*1 + 1 = 3
+    docs = spark.createDataFrame(
+        [(1, "ab ab b"), (2, "ab")], "doc_id bigint, text string"
+    )
+    out = {
+        r["doc_id"]: r for r in BPE.doc_token_counts(docs, n_merges=1).collect()
+    }
+    assert out[1]["n_words"] == 3 and out[1]["n_bpe_tokens"] == 3
+    assert out[2]["n_words"] == 1 and out[2]["n_bpe_tokens"] == 1
+
+
+def test_training_order_contiguous_and_reshard_stable(spark, sf_dir):
+    from lab_flink_repository_analytics_spark.queries import analytics_extra as AX
+
+    out = AX.training_order(spark, sf_dir)
+    rows = out.collect()
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # deterministic under a different input partitioning
+    again = {(r["doc_id"], r["shard"], r["pos"]) for r in out.repartition(7).collect()}
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+
+
+def test_source_mixture_weights_flatten_toward_tail(spark, sf_dir):
+    from lab_flink_repository_analytics_spark.queries import analytics_extra as AX
+
+    rows = AX.source_mixture_weights(spark, sf_dir).collect()
+    assert abs(sum(r["sample_weight"] for r in rows) - 1.0) < 1e-4
+    # sqrt temperature flattens: the crossover share is t = (1/Σ√s)², so
+    # anything above t loses weight and anything below gains; the heaviest
+    # source is always ≥ t and the lightest ≤ t
+    heaviest = max(rows, key=lambda r: r["token_share"])
+    lightest = min(rows, key=lambda r: r["token_share"])
+    assert heaviest["sample_weight"] < heaviest["token_share"] + 1e-9
+    assert lightest["sample_weight"] > lightest["token_share"] - 1e-9
+    # and the ordering by weight matches the ordering by share (monotone)
+    by_share = sorted(rows, key=lambda r: r["token_share"])
+    weights = [r["sample_weight"] for r in by_share]
+    assert weights == sorted(weights)

@@ -38,6 +38,7 @@ BNLJ_OK = {
     "hard_negative_mining",  # broadcast query set (bounded, ≪ corpus)
     "semantic_dedup",  # broadcast 16-centroid quantizer (as ann_ivf_topk)
     "bigram_lm_scores",  # broadcast scalar vocab size V
+    "source_mixture_weights",  # broadcast one-row (tot_tokens, tot_sqrt) normalizer
 }
 
 #: queries allowed an Exchange SinglePartition — every one is a
@@ -57,6 +58,7 @@ SINGLE_PARTITION_OK = {
     "monthly_revenue_growth",  # month-cardinality window (bounded ~100s)
     "mixture_sample_counts",  # #groups quota rows
     "bigram_lm_scores",  # scalar vocab-size reduction (partial-agg first)
+    "source_mixture_weights",  # scalar normalizer over #sources pre-aggregated rows
 }
 
 
