@@ -1301,6 +1301,121 @@ SELECT event_id, user_id, event_type, ts FROM (
 """
 
 
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality harness: per-query recall@10 of the LSH-bucketed
+    index against the brute-force cosine ground truth — the evaluation
+    loop every approximate index needs before it replaces exact search.
+
+    Scale shape: both sides reuse the existing operators (broadcast query
+    set, bucket-confined candidate scan); the recall join moves only the
+    two top-k result sets (#queries × k rows each), never vectors.
+    Output: (query_id, n_true, n_hits, recall)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = emb.filter(F.col("vec_id") < 5)
+    bf = SIM.brute_force_topk(q, emb, k=10).select("query_id", "neighbor_id")
+    lsh = SIM.lsh_topk(q, emb, k=10, nbits=ANN_LSH_NBITS).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true"),
+            F.count("hit").cast("bigint").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_true",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_true"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def _ann_recall_sql() -> str:
+    rank = (
+        "row_number() OVER (PARTITION BY query_id "
+        "ORDER BY score DESC, neighbor_id) AS rank"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+bscored AS (
+  SELECT query_id, c.vec_id AS neighbor_id, {_cos_sql("qv", "c.v")} AS score
+  FROM q, e c WHERE query_id <> c.vec_id
+),
+b AS (SELECT query_id, neighbor_id FROM
+      (SELECT query_id, neighbor_id, {rank} FROM bscored) WHERE rank <= 10),
+eb AS (SELECT vec_id, v, {_lsh_bucket_sql("v", ANN_LSH_NBITS)} AS bucket FROM e),
+ql AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id < 5),
+lscored AS (
+  SELECT query_id, c.vec_id AS neighbor_id, {_cos_sql("qv", "c.v")} AS score
+  FROM ql JOIN eb c ON ql.bucket = c.bucket AND ql.query_id <> c.vec_id
+),
+l AS (SELECT query_id, neighbor_id, 1 AS hit FROM
+      (SELECT query_id, neighbor_id, {rank} FROM lscored) WHERE rank <= 10)
+SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_true,
+       CAST(count(l.hit) AS BIGINT) AS n_hits,
+       round(CAST(count(l.hit) AS DOUBLE) / count(*), 6) AS recall
+FROM b LEFT JOIN l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+GROUP BY 1
+"""
+
+
+def leakage_safe_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-safe train/valid/test split: the split key is the doc's
+    duplicate-CLUSTER id (connected components over the MinHash-LSH
+    candidate graph), so a near-duplicate can never sit in train while
+    its twin sits in test — the benchmark-leakage mode a plain per-doc
+    id-hash split cannot prevent.  Composition of datapipe/graph.py
+    connected components + datapipe/sampling.py deterministic_split;
+    whole clusters move between splits atomically by construction.
+
+    Output: (split, n_docs, n_clusters)."""
+    from lab_flink_repository_analytics_spark.datapipe import graph, sampling
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = DD.near_dup_candidates(docs).select("id_a", "id_b")
+    labels = graph.connected_components(
+        pairs,
+        src="id_a",
+        dst="id_b",
+        nodes=docs.select("doc_id"),
+        node_col="doc_id",
+    )
+    lab = labels.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    return (
+        sampling.deterministic_split(lab, "cluster_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+        )
+    )
+
+
+def _leakage_split_sql() -> str:
+    return f"""
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+FROM (
+  SELECT cluster_id,
+         CASE WHEN b < 8000 THEN 'train'
+              WHEN b < 9000 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT cluster_id,
+           ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+    FROM ({_dedup_clusters_sql()}) cl
+  )
+) GROUP BY 1
+"""
+
+
 KMEANS_K, KMEANS_ITERS = 8, 2
 
 
@@ -2810,6 +2925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": kmeans_clusters,
         "embedding_covariance": embedding_covariance,
         "windowed_event_dedup": windowed_event_dedup,
+        "ann_recall_eval": ann_recall_eval,
+        "leakage_safe_split_counts": leakage_safe_split_counts,
         **TPCH.QUERIES,
         **AX.QUERIES,
     }
@@ -2890,6 +3007,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": KMEANS_SQL,
         "embedding_covariance": EMBEDDING_COVARIANCE_SQL,
         "windowed_event_dedup": WINDOWED_EVENT_DEDUP_SQL,
+        "ann_recall_eval": _ann_recall_sql(),
+        "leakage_safe_split_counts": _leakage_split_sql(),
         **TPCH.ORACLES,
         **AX.ORACLES,
     }

@@ -632,3 +632,38 @@ def test_source_mixture_weights_flatten_toward_tail(spark, sf_dir):
     by_share = sorted(rows, key=lambda r: r["token_share"])
     weights = [r["sample_weight"] for r in by_share]
     assert weights == sorted(weights)
+
+
+def test_ann_recall_eval_bounds(spark, sf_dir):
+    from lab_flink_repository_analytics_spark.queries import suite
+
+    rows = suite.ann_recall_eval(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_true"] == 10
+        assert 0 <= r["n_hits"] <= r["n_true"]
+        assert abs(r["recall"] - round(r["n_hits"] / r["n_true"], 6)) < 1e-9
+
+
+def test_leakage_safe_split_never_straddles_near_dups(spark, sf_dir):
+    from lab_flink_repository_analytics_spark.datapipe import graph, sampling
+    from lab_flink_repository_analytics_spark.queries import suite
+    from lab_flink_repository_analytics_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = DD.near_dup_candidates(docs).select("id_a", "id_b")
+    labels = graph.connected_components(
+        pairs, src="id_a", dst="id_b",
+        nodes=docs.select("doc_id"), node_col="doc_id",
+    ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+    assign = {
+        r["doc_id"]: r["split"]
+        for r in sampling.deterministic_split(labels, "cluster_id").collect()
+    }
+    # every LSH near-dup candidate pair lands in ONE split
+    for p in pairs.collect():
+        assert assign[p["id_a"]] == assign[p["id_b"]], p
+    # and the graded rollup partitions the whole corpus
+    counts = suite.leakage_safe_split_counts(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in counts) == docs.count()
+    assert {r["split"] for r in counts} <= {"train", "valid", "test"}
