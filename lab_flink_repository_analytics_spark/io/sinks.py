@@ -220,6 +220,35 @@ def compact_parquet(
     return n_files
 
 
+def compact_parquet_to_size(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 512 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Byte-targeted compaction: choose the output file count from the
+    directory's ACTUAL parquet bytes (post-encoding, post-compression),
+    then delegate to :func:`compact_parquet`.
+
+    Row-count targets drift as row width changes between tables (a
+    10-column metrics table and a documents table with 100 KB text rows
+    need very different rows-per-file); bytes on disk are the ground
+    truth the 128 MB-to-1 GB file-sizing guidance is stated in.  The size
+    probe is one namenode listing — no data read.
+    """
+    fs, jpath = _hadoop_fs(spark, path)
+    total = 0
+    for st in fs.listStatus(jpath):
+        if st.getPath().getName().endswith(".parquet"):
+            total += st.getLen()
+    rows = spark.read.parquet(path).count()
+    n_files = max(1, -(-total // max(1, target_bytes)))
+    target_rows = max(1, -(-rows // n_files))
+    return compact_parquet(
+        spark, path, target_rows_per_file=target_rows, sort_cols=sort_cols
+    )
+
+
 def zorder_value(*cols, bits: int = 16):
     """Z-order (Morton) curve value: interleave the top ``bits`` of each
     column's rank-space so sorting by ONE value clusters on ALL dims —

@@ -1416,6 +1416,113 @@ FROM (
 """
 
 
+DEDUP_EVAL_TAU = 0.5
+
+
+def lsh_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-index quality harness: precision/recall of the MinHash-LSH
+    candidate generator against exact token-Jaccard ≥ 0.5 ground truth,
+    measured within the (source, lang) blocked universe — the confinement
+    exact truth is computable in (full-corpus truth is the quadratic the
+    index exists to avoid).  The dedup twin of :func:`ann_recall_eval`.
+
+    Scale shape: truth and candidates are both pair sets (≪ corpus); the
+    evaluation is one full-outer join of the two pair sets and a scalar
+    rollup.  Output: one row (n_true, n_candidates, n_hits, prec, rec)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    truth = DD.ngram_jaccard_pairs(
+        docs, ["source", "lang"], min_jaccard=DEDUP_EVAL_TAU
+    ).select("id_a", "id_b", F.lit(1).alias("t"))
+    attrs = docs.select("doc_id", "source", "lang")
+    a = attrs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("sa"),
+        F.col("lang").alias("la"),
+    )
+    b = attrs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("sb"),
+        F.col("lang").alias("lb"),
+    )
+    cand = (
+        DD.near_dup_candidates(docs)
+        .select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .filter((F.col("sa") == F.col("sb")) & (F.col("la") == F.col("lb")))
+        .select("id_a", "id_b", F.lit(1).alias("c"))
+    )
+    j = truth.join(cand, ["id_a", "id_b"], "full_outer")
+    return (
+        j.agg(
+            F.count("t").cast("bigint").alias("n_true"),
+            F.count("c").cast("bigint").alias("n_candidates"),
+            F.count(F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hits",
+            F.when(
+                F.col("n_candidates") > 0,
+                F.round(
+                    F.col("n_hits").cast("double") / F.col("n_candidates"), 6
+                ),
+            ).alias("prec"),
+            F.when(
+                F.col("n_true") > 0,
+                F.round(F.col("n_hits").cast("double") / F.col("n_true"), 6),
+            ).alias("rec"),
+        )
+    )
+
+
+def _lsh_dedup_eval_sql() -> str:
+    return f"""
+WITH sigs AS ({_MINHASH_RAW_SQL.strip()}),
+banded AS (
+  SELECT doc_id AS id, b AS band, sig[2*b+1] AS s1, sig[2*b+2] AS s2
+  FROM sigs, unnest([0, 1, 2, 3]) AS u(b)
+),
+cand0 AS (
+  SELECT l.id AS id_a, r.id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.s1 = r.s1 AND l.s2 = r.s2 AND l.id < r.id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT c.id_a, c.id_b
+  FROM cand0 c
+  JOIN documents l ON l.doc_id = c.id_a
+  JOIN documents r ON r.doc_id = c.id_b
+  WHERE l.source = r.source AND l.lang = r.lang
+),
+truth AS (
+  SELECT id_a, id_b FROM ({JACCARD_SQL.strip()})
+  WHERE jaccard >= {DEDUP_EVAL_TAU}
+),
+j AS (
+  SELECT t.id_a AS ta, c.id_a AS ca
+  FROM truth t FULL JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+),
+counts AS (
+  SELECT CAST(count(ta) AS BIGINT) AS n_true,
+         CAST(count(ca) AS BIGINT) AS n_candidates,
+         CAST(count(CASE WHEN ta IS NOT NULL AND ca IS NOT NULL THEN 1 END)
+              AS BIGINT) AS n_hits
+  FROM j
+)
+SELECT n_true, n_candidates, n_hits,
+       CASE WHEN n_candidates > 0
+            THEN round(CAST(n_hits AS DOUBLE) / n_candidates, 6) END AS prec,
+       CASE WHEN n_true > 0
+            THEN round(CAST(n_hits AS DOUBLE) / n_true, 6) END AS rec
+FROM counts
+"""
+
+
 KMEANS_K, KMEANS_ITERS = 8, 2
 
 
@@ -2927,6 +3034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_event_dedup": windowed_event_dedup,
         "ann_recall_eval": ann_recall_eval,
         "leakage_safe_split_counts": leakage_safe_split_counts,
+        "lsh_dedup_eval": lsh_dedup_eval,
         **TPCH.QUERIES,
         **AX.QUERIES,
     }
@@ -3009,6 +3117,7 @@ def oracle_sql() -> dict[str, str]:
         "windowed_event_dedup": WINDOWED_EVENT_DEDUP_SQL,
         "ann_recall_eval": _ann_recall_sql(),
         "leakage_safe_split_counts": _leakage_split_sql(),
+        "lsh_dedup_eval": _lsh_dedup_eval_sql(),
         **TPCH.ORACLES,
         **AX.ORACLES,
     }

@@ -854,3 +854,23 @@ def test_streaming_ewma_matches_batch_operator(spark, tmp_path):
         ).collect()
     }
     assert streamed == expect
+
+
+def test_compact_parquet_to_size_targets_bytes(spark, tmp_path):
+    from lab_flink_repository_analytics_spark.io import sinks
+
+    path = str(tmp_path / "sized")
+    df = spark.range(0, 20_000).selectExpr(
+        "id", "repeat('x', 64) AS pad"
+    )
+    df.repartition(16).write.parquet(path)
+    import glob
+    total = sum(
+        __import__("os").path.getsize(f) for f in glob.glob(path + "/*.parquet")
+    )
+    # aim for ~4 files from the measured bytes
+    n = sinks.compact_parquet_to_size(spark, path, target_bytes=max(1, total // 4))
+    files = glob.glob(path + "/*.parquet")
+    assert n == len(files)
+    assert 2 <= n <= 8  # byte-derived, not row-guessed
+    assert spark.read.parquet(path).count() == 20_000

@@ -39,6 +39,7 @@ BNLJ_OK = {
     "semantic_dedup",  # broadcast 16-centroid quantizer (as ann_ivf_topk)
     "bigram_lm_scores",  # broadcast scalar vocab size V
     "source_mixture_weights",  # broadcast one-row (tot_tokens, tot_sqrt) normalizer
+    "ann_recall_eval",  # broadcast query set on BOTH sides (as ann_cosine_topk/ann_lsh_topk)
 }
 
 #: queries allowed an Exchange SinglePartition — every one is a
@@ -59,6 +60,7 @@ SINGLE_PARTITION_OK = {
     "mixture_sample_counts",  # #groups quota rows
     "bigram_lm_scores",  # scalar vocab-size reduction (partial-agg first)
     "source_mixture_weights",  # scalar normalizer over #sources pre-aggregated rows
+    "lsh_dedup_eval",  # one-row precision/recall counters (partial-agg first)
 }
 
 
