@@ -667,3 +667,35 @@ def test_leakage_safe_split_never_straddles_near_dups(spark, sf_dir):
     counts = suite.leakage_safe_split_counts(spark, sf_dir).collect()
     assert sum(r["n_docs"] for r in counts) == docs.count()
     assert {r["split"] for r in counts} <= {"train", "valid", "test"}
+
+
+def test_pretraining_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    import json as _json
+
+    from lab_flink_repository_analytics_spark.datapipe import pipeline
+    from lab_flink_repository_analytics_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    eval_set = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    out = str(tmp_path / "pipe")
+    manifest = pipeline.run_pretraining_pipeline(
+        spark, docs, eval_set, out, chunk_tokens=32, overlap=4, capacity=128
+    )
+    # attribution partitions the corpus
+    assert manifest["input_docs"] == docs.count()
+    assert manifest["kept_docs"] + sum(manifest["dropped"].values()) == manifest["input_docs"]
+    assert manifest["kept_docs"] > 0
+    # the written dataset agrees with the manifest and is split-partitioned
+    written = spark.read.parquet(manifest["chunks_dir"])
+    got = {r["split"]: r["n"] for r in written.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert {s: c["chunks"] for s, c in manifest["splits"].items()} == got
+    # bins respect capacity up to one overhanging chunk (concat-then-split)
+    per_bin = written.groupBy("split", "shard", "bin").agg(F.sum("n_chunk_tokens").alias("t")).collect()
+    assert all(r["t"] <= 128 + 32 for r in per_bin)
+    # manifest round-trips from disk
+    on_disk = _json.load(open(out + "/manifest.json"))
+    assert on_disk["kept_docs"] == manifest["kept_docs"]
+    # every chunk's doc carries exactly one split (no doc straddles)
+    ndocs = written.select("doc_id").distinct().count()
+    nds = written.select("doc_id", "split").distinct().count()
+    assert ndocs == nds
