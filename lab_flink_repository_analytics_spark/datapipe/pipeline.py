@@ -159,3 +159,61 @@ def run_pretraining_pipeline(
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     return manifest
+
+
+def incremental_ingest(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    ledger_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Nightly-batch ingestion against a content-fingerprint ledger: admit
+    only documents whose md5 fingerprint has never been seen — WITHOUT
+    rescanning the existing corpus.
+
+    The ledger is a parquet table of (fp, keep_id) — one row per distinct
+    content ever admitted.  A new batch:
+
+      1. dedups WITHIN the batch (min-id keeper per fingerprint);
+      2. anti-joins the ledger on fp — at 100 TB this is a join of
+         batch-size vs ledger-size keyed on the fingerprint hash; with the
+         ledger bucketed by fp (io/bucketing.py) the big side never
+         shuffles, and Spark's runtime bloom filter prunes most ledger
+         row groups for a small batch;
+      3. appends the admitted fingerprints to the ledger — the corpus
+         itself is immutable-append, the ledger is the only mutable state
+         (bounded: one row per distinct content).
+
+    Returns {"batch": n, "admitted": n, "dup_in_batch": n, "dup_vs_ledger": n}.
+    Idempotent per content: replaying a batch admits nothing new.
+    """
+    fp = F.md5(F.col(text_col))
+    batch = new_docs.select(
+        *new_docs.columns, fp.alias("fp")
+    )
+    keeper = (
+        batch.groupBy("fp").agg(F.min(id_col).alias("keep_id"))
+    )
+    batch_kept = batch.join(
+        keeper.select("fp", F.col("keep_id").alias(id_col)), [ "fp", id_col ]
+    )
+    n_batch = new_docs.count()
+    n_batch_kept = batch_kept.count()
+    from pyspark.errors import AnalysisException
+
+    try:
+        ledger = spark.read.parquet(ledger_dir).select("fp")
+        admitted = batch_kept.join(ledger, "fp", "left_anti")
+    except AnalysisException:  # first batch: ledger path does not exist yet
+        admitted = batch_kept
+    n_admitted = admitted.count()
+    admitted.select("fp", F.col(id_col).alias("keep_id")).write.mode(
+        "append"
+    ).parquet(ledger_dir)
+    return {
+        "batch": n_batch,
+        "admitted": n_admitted,
+        "dup_in_batch": n_batch - n_batch_kept,
+        "dup_vs_ledger": n_batch_kept - n_admitted,
+    }

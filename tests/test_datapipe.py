@@ -699,3 +699,26 @@ def test_pretraining_pipeline_end_to_end(spark, sf_dir, tmp_path):
     ndocs = written.select("doc_id").distinct().count()
     nds = written.select("doc_id", "split").distinct().count()
     assert ndocs == nds
+
+
+def test_incremental_ingest_ledger_idempotent(spark, tmp_path):
+    from lab_flink_repository_analytics_spark.datapipe import pipeline
+
+    ledger = str(tmp_path / "ledger")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        "doc_id bigint, text string",
+    )
+    r1 = pipeline.incremental_ingest(spark, b1, ledger)
+    assert r1 == {"batch": 3, "admitted": 2, "dup_in_batch": 1, "dup_vs_ledger": 0}
+    # second batch: one brand-new doc, one exact dup of batch 1
+    b2 = spark.createDataFrame(
+        [(10, "epsilon zeta"), (11, "alpha beta")], "doc_id bigint, text string"
+    )
+    r2 = pipeline.incremental_ingest(spark, b2, ledger)
+    assert r2 == {"batch": 2, "admitted": 1, "dup_in_batch": 0, "dup_vs_ledger": 1}
+    # replaying batch 2 admits nothing (idempotent per content)
+    r3 = pipeline.incremental_ingest(spark, b2, ledger)
+    assert r3["admitted"] == 0 and r3["dup_vs_ledger"] == 2
+    # ledger holds one row per distinct content ever admitted
+    assert spark.read.parquet(ledger).count() == 3
