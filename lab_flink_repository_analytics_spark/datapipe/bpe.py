@@ -26,8 +26,10 @@ The pair (a, b) then occurs as the substring ``SEP a SEP SEP b SEP``,
 adjacent occurrences never share characters, and one plain ``replace``
 (left-to-right by definition in both Spark and DuckDB) performs the
 exact greedy merge — including the aaa → (aa)a case.  The separator is
-U+001F (unit separator), which cannot appear inside whitespace-split
-tokens.
+U+001F (unit separator), RESERVED by this module: any U+001F embedded in
+input words is stripped at representation build (it is not whitespace,
+so it would otherwise survive tokenization and corrupt the symbol
+framing) — pinned identically in the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -37,8 +39,8 @@ from pyspark.sql import functions as F
 
 from lab_flink_repository_analytics_spark.datapipe.text import tokens
 
-#: symbol-boundary marker inside a word representation (cannot occur in
-#: whitespace-tokenized input words)
+#: symbol-boundary marker inside a word representation (reserved: any
+#: occurrence embedded in input words is stripped at representation build)
 SEP = "\u001f"
 
 
@@ -52,8 +54,9 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _initial_rep(word) -> F.Column:
-    """Word → SEP-wrapped single-character symbol sequence."""
-    chars = F.regexp_extract_all(word, F.lit("."), 0)
+    """Word → SEP-wrapped single-character symbol sequence (the reserved
+    separator char itself is stripped from the input)."""
+    chars = F.regexp_extract_all(word, F.lit("[^" + SEP + "]"), 0)
     return F.concat(F.lit(SEP), F.array_join(chars, SEP + SEP), F.lit(SEP))
 
 

@@ -55,7 +55,7 @@ def leakage_safe_split(
         pairs, src="id_a", dst="id_b", nodes=docs.select(id_col), node_col=id_col
     ).select(F.col("node").alias(id_col), F.col("component").alias("cluster_id"))
     assigned = sampling.deterministic_split(labels, "cluster_id").select(
-        id_col, "split"
+        id_col, "cluster_id", "split"
     )
     return docs.join(assigned, id_col)
 
@@ -74,13 +74,7 @@ def pack_chunks(
     window per (split, shard), reshard-stable because the shard is a
     salted hash of the doc id."""
     shard = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("shard"), F.col(id_col).cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint"),
+        TX.md5_hash32(F.concat(F.lit("shard"), F.col(id_col).cast("string"))),
         F.lit(n_shards),
     ).cast("int")
     w = (
@@ -116,7 +110,12 @@ def run_pretraining_pipeline(
     doc_id, chunk_index, n_chunk_tokens, chunk, shard, bin) and
     ``{out_dir}/manifest.json``.
     """
-    outcomes = curation.curation_outcomes(docs, eval_set)
+    from lab_flink_repository_analytics_spark.session import persist_bounded
+
+    # one curation pass feeds both the manifest counts and the kept slice
+    outcomes = persist_bounded(
+        curation.curation_outcomes(docs, eval_set), "pipeline.outcomes"
+    )
     drop_counts = {
         r["outcome"]: r["n"]
         for r in outcomes.groupBy("outcome")
@@ -146,7 +145,9 @@ def run_pretraining_pipeline(
         .collect()
     }
     manifest = {
-        "input_docs": docs.count(),
+        # attribution partitions the corpus, so the rule counts ARE the
+        # input count — no separate scan
+        "input_docs": sum(drop_counts.values()),
         "dropped": {k: v for k, v in drop_counts.items() if k != "kept"},
         "kept_docs": drop_counts.get("kept", 0),
         "chunk_tokens": chunk_tokens,
@@ -188,29 +189,33 @@ def incremental_ingest(
     Returns {"batch": n, "admitted": n, "dup_in_batch": n, "dup_vs_ledger": n}.
     Idempotent per content: replaying a batch admits nothing new.
     """
-    fp = F.md5(F.col(text_col))
-    batch = new_docs.select(
-        *new_docs.columns, fp.alias("fp")
-    )
-    keeper = (
-        batch.groupBy("fp").agg(F.min(id_col).alias("keep_id"))
-    )
-    batch_kept = batch.join(
-        keeper.select("fp", F.col("keep_id").alias(id_col)), [ "fp", id_col ]
-    )
-    n_batch = new_docs.count()
-    n_batch_kept = batch_kept.count()
     from pyspark.errors import AnalysisException
 
+    from lab_flink_repository_analytics_spark.session import persist_bounded
+
+    # NULL text gets a sentinel so md5 never yields a NULL key (a NULL fp
+    # would silently drop the row from every equi-join and misreport it)
+    fp = F.md5(F.coalesce(F.col(text_col), F.lit("\u0000<null>")))
+    # one batch scan: per-fingerprint multiplicity + keeper election is
+    # the only state the ledger protocol needs
+    per_fp = persist_bounded(
+        new_docs.select(fp.alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min(id_col).alias("keep_id")),
+        "pipeline.ingest_fp",
+    )
+    totals = per_fp.agg(
+        F.sum("cnt").cast("bigint").alias("n_batch"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    ).first()
+    n_batch, n_batch_kept = totals["n_batch"] or 0, totals["n_kept"]
     try:
         ledger = spark.read.parquet(ledger_dir).select("fp")
-        admitted = batch_kept.join(ledger, "fp", "left_anti")
+        admitted = per_fp.join(ledger, "fp", "left_anti")
     except AnalysisException:  # first batch: ledger path does not exist yet
-        admitted = batch_kept
+        admitted = per_fp
     n_admitted = admitted.count()
-    admitted.select("fp", F.col(id_col).alias("keep_id")).write.mode(
-        "append"
-    ).parquet(ledger_dir)
+    admitted.select("fp", "keep_id").write.mode("append").parquet(ledger_dir)
     return {
         "batch": n_batch,
         "admitted": n_admitted,

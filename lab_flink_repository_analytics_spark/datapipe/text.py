@@ -47,6 +47,14 @@ def md5_hash32(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(_c(col)), 1, 8), 16, 10).cast("bigint")
 
 
+def md5_hash60(col: Column | str) -> Column:
+    """Portable 60-bit hash (first 15 md5 hex chars): for operators where
+    32-bit collision mass would corrupt the SIGNAL at corpus scale (e.g.
+    duplicate-gram detection over ~2^40 distinct grams).  15 hex digits
+    stay positive in a signed BIGINT in both engines."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("bigint")
+
+
 #: Tiny English stopword core used by quality scoring / language-ID.
 STOPWORDS_EN = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "for"]
 MARKERS_DE = ["der", "die", "das", "und", "ist", "ein", "mit", "nicht"]
@@ -551,6 +559,13 @@ def duplicate_span_stats_df(
     positions (+k for the last one) — one ``lead`` window, no interval
     sweep state.
 
+    Duplicate detection keys on a 60-bit portable md5 hash of the gram
+    (``md5_hash60``): at ~2^40 distinct grams (100 TB of text) a 32-bit
+    key would mark nearly every gram as "duplicated" through collisions
+    alone; 60 bits keeps expected collision mass negligible relative to
+    the real duplicate signal (add a verify-stage string comparison on
+    the surviving pairs if exactness to the last gram is required).
+
     Scale shape: gram positions are pre-aggregated to (doc, gram,
     positions[]) in the first shuffle, so the corpus-frequency rollup and
     the duplicated-gram join move one row per DISTINCT doc-gram, never raw
@@ -571,7 +586,7 @@ def duplicate_span_stats_df(
             F.sequence(F.lit(0), n - k),
             lambda i: F.struct(
                 i.cast("int").alias("pos"),
-                md5_hash32(
+                md5_hash60(
                     F.concat_ws(
                         " ",
                         *[

@@ -238,7 +238,12 @@ def compact_parquet_to_size(
     """
     fs, jpath = _hadoop_fs(spark, path)
     total = 0
-    for st in fs.listStatus(jpath):
+    # recursive listing: partitioned datasets (split=.../part-*.parquet)
+    # keep their data files in subdirectories — a flat listStatus would
+    # see only directories, total 0 bytes, and compact everything to ONE file
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
         if st.getPath().getName().endswith(".parquet"):
             total += st.getLen()
     rows = spark.read.parquet(path).count()

@@ -1550,7 +1550,7 @@ def _dup_span_sql() -> str:
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 p AS (
   SELECT doc_id, i - 1 AS pos,
-         ('0x' || substr(md5({parts}), 1, 8))::BIGINT AS g
+         ('0x' || substr(md5({parts}), 1, 15))::BIGINT AS g
   FROM toks, unnest(generate_series(1, len(t) - {k - 1})) AS u(i)
   WHERE len(t) >= {k}
 ),
@@ -1607,7 +1607,7 @@ WITH w AS (
 ),
 r0 AS (
   SELECT w, wc,
-         chr(31) || array_to_string(regexp_extract_all(w, '.'), chr(31) || chr(31)) || chr(31) AS rep
+         chr(31) || array_to_string(regexp_extract_all(w, '[^' || chr(31) || ']'), chr(31) || chr(31)) || chr(31) AS rep
   FROM w
 )"""
     ]

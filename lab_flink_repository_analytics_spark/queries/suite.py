@@ -1374,22 +1374,11 @@ def leakage_safe_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole clusters move between splits atomically by construction.
 
     Output: (split, n_docs, n_clusters)."""
-    from lab_flink_repository_analytics_spark.datapipe import graph, sampling
+    from lab_flink_repository_analytics_spark.datapipe import pipeline
 
     docs = load_tables(spark, sf_dir)["documents"]
-    pairs = DD.near_dup_candidates(docs).select("id_a", "id_b")
-    labels = graph.connected_components(
-        pairs,
-        src="id_a",
-        dst="id_b",
-        nodes=docs.select("doc_id"),
-        node_col="doc_id",
-    )
-    lab = labels.select(
-        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
-    )
     return (
-        sampling.deterministic_split(lab, "cluster_id")
+        pipeline.leakage_safe_split(docs)
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),

@@ -722,3 +722,17 @@ def test_incremental_ingest_ledger_idempotent(spark, tmp_path):
     assert r3["admitted"] == 0 and r3["dup_vs_ledger"] == 2
     # ledger holds one row per distinct content ever admitted
     assert spark.read.parquet(ledger).count() == 3
+
+
+def test_incremental_ingest_null_text_not_dropped(spark, tmp_path):
+    from lab_flink_repository_analytics_spark.datapipe import pipeline
+
+    ledger = str(tmp_path / "nl")
+    b = spark.createDataFrame(
+        [(1, None), (2, "x y z")], "doc_id bigint, text string"
+    )
+    r = pipeline.incremental_ingest(spark, b, ledger)
+    # the NULL-text doc is admitted (sentinel fingerprint), not silently
+    # dropped or misreported as a duplicate
+    assert r == {"batch": 2, "admitted": 2, "dup_in_batch": 0, "dup_vs_ledger": 0}
+    assert spark.read.parquet(ledger).count() == 2

@@ -874,3 +874,24 @@ def test_compact_parquet_to_size_targets_bytes(spark, tmp_path):
     assert n == len(files)
     assert 2 <= n <= 8  # byte-derived, not row-guessed
     assert spark.read.parquet(path).count() == 20_000
+
+
+def test_compact_parquet_to_size_sees_partitioned_bytes(spark, tmp_path):
+    from lab_flink_repository_analytics_spark.io import sinks
+
+    path = str(tmp_path / "parted")
+    df = spark.range(0, 8_000).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS split", "repeat('y', 64) AS pad"
+    )
+    df.repartition(12).write.partitionBy("split").parquet(path)
+    import glob
+    total = sum(
+        __import__("os").path.getsize(f)
+        for f in glob.glob(path + "/*/*.parquet")
+    )
+    assert total > 0
+    # recursive byte listing: a flat listStatus would see 0 bytes here and
+    # collapse everything into one file regardless of target
+    n = sinks.compact_parquet_to_size(spark, path, target_bytes=max(1, total // 3))
+    assert 2 <= n <= 6
+    assert spark.read.parquet(path).count() == 8_000
