@@ -1790,6 +1790,78 @@ FROM h
 """
 
 
+# ---------------------------------------------------------------------------
+# Distribution drift (PSI) between two time slices
+
+DRIFT_LO, DRIFT_HI, DRIFT_BINS = 0.0, 500.0, 20
+DRIFT_SPLIT = "2024-01-16 00:00:00"
+
+
+def event_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type PSI between the first and second half of the month
+    (datapipe/drift.py::psi_drift over datapipe/sketches.py histogram
+    sketches): the recurring-pipeline drift gate, scored from bounded
+    counter state rather than raw rescans."""
+    from lab_flink_repository_analytics_spark.datapipe import drift, sketches
+
+    ev = load_tables(spark, sf_dir)["events"]
+    cut = F.lit(DRIFT_SPLIT).cast("timestamp")
+    a = sketches.value_histogram(
+        ev.filter(F.col("ts") < cut), "value", ["event_type"], DRIFT_LO, DRIFT_HI, DRIFT_BINS
+    )
+    b = sketches.value_histogram(
+        ev.filter(F.col("ts") >= cut), "value", ["event_type"], DRIFT_LO, DRIFT_HI, DRIFT_BINS
+    )
+    return drift.psi_drift(a, b, ["event_type"], DRIFT_BINS)
+
+
+def _event_drift_sql() -> str:
+    lo, hi, bins = DRIFT_LO, DRIFT_HI, DRIFT_BINS
+    bin_expr = (
+        f"CAST(least(greatest(floor((value - {lo}) / {hi - lo} * {bins}), 0), "
+        f"{bins - 1}) AS BIGINT)"
+    )
+    pa = f"(CAST(ca + 1 AS DOUBLE) / (n_a + {bins}))"
+    pb = f"(CAST(cb + 1 AS DOUBLE) / (n_b + {bins}))"
+    return f"""
+WITH a AS (
+  SELECT event_type, {bin_expr} AS bin, CAST(count(*) AS BIGINT) AS ca
+  FROM events WHERE ts < TIMESTAMP '{DRIFT_SPLIT}' GROUP BY 1, 2
+),
+b AS (
+  SELECT event_type, {bin_expr} AS bin, CAST(count(*) AS BIGINT) AS cb
+  FROM events WHERE ts >= TIMESTAMP '{DRIFT_SPLIT}' GROUP BY 1, 2
+),
+k AS (
+  SELECT DISTINCT event_type FROM
+  (SELECT event_type FROM a UNION ALL SELECT event_type FROM b)
+),
+grid AS (
+  SELECT event_type, i AS bin FROM k, unnest(generate_series(0, {bins - 1})) AS u(i)
+),
+j AS (
+  SELECT g.event_type, g.bin, coalesce(a.ca, 0) AS ca, coalesce(b.cb, 0) AS cb
+  FROM grid g
+  LEFT JOIN a ON a.event_type = g.event_type AND a.bin = g.bin
+  LEFT JOIN b ON b.event_type = g.event_type AND b.bin = g.bin
+),
+tot AS (
+  SELECT event_type, CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+  FROM j GROUP BY 1
+),
+t AS (
+  SELECT j.event_type, n_a, n_b,
+         CAST(({pa} - {pb}) * ln({pa} / {pb}) AS DECIMAL(25,18)) AS term
+  FROM j JOIN tot ON tot.event_type = j.event_type
+)
+SELECT event_type, n_a, n_b, round(CAST(sum(term) AS DOUBLE), 6) AS psi
+FROM t GROUP BY 1, 2, 3
+"""
+
+
+EVENT_DRIFT_SQL = _event_drift_sql()
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_top_terms": bm25_top_terms,
@@ -1822,6 +1894,7 @@ QUERIES = {
     "bpe_token_counts": bpe_token_counts,
     "source_mixture_weights": source_mixture_weights,
     "training_order": training_order,
+    "event_value_drift": event_value_drift,
 }
 
 ORACLES = {
@@ -1855,4 +1928,5 @@ ORACLES = {
     "bpe_token_counts": BPE_TOKEN_COUNTS_SQL,
     "source_mixture_weights": SOURCE_MIXTURE_SQL,
     "training_order": TRAINING_ORDER_SQL,
+    "event_value_drift": EVENT_DRIFT_SQL,
 }

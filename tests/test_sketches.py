@@ -143,3 +143,40 @@ def test_histogram_sketch_drives_approx_ntile(spark, sf_dir):
     for b in (1, 2, 3, 4):
         # within 5% of perfect equi-depth (sketch edge resolution)
         assert abs(counts.get(b, 0) - n / 4) <= 0.05 * n, counts
+
+
+def test_psi_drift_zero_shift_and_symmetry(spark):
+    from lab_flink_repository_analytics_spark.datapipe import drift, sketches
+
+    rows_a = [("k", float(i % 10)) for i in range(200)]
+    rows_b = [("k", float((i % 10) + 5)) for i in range(300)]  # shifted
+    a = sketches.value_histogram(
+        spark.createDataFrame(rows_a, "g string, v double"), "v", ["g"], 0.0, 20.0, 10
+    )
+    b = sketches.value_histogram(
+        spark.createDataFrame(rows_b, "g string, v double"), "v", ["g"], 0.0, 20.0, 10
+    )
+    same = drift.psi_drift(a, a, ["g"], 10).collect()[0]
+    assert same["psi"] == 0.0 and same["n_a"] == same["n_b"] == 200
+    ab = drift.psi_drift(a, b, ["g"], 10).collect()[0]
+    ba = drift.psi_drift(b, a, ["g"], 10).collect()[0]
+    # a 5-bin shift is a major drift; PSI is symmetric by construction
+    assert ab["psi"] > 0.25
+    assert ab["psi"] == ba["psi"]
+
+
+def test_psi_drift_key_only_in_one_side(spark):
+    from lab_flink_repository_analytics_spark.datapipe import drift, sketches
+
+    a = sketches.value_histogram(
+        spark.createDataFrame([("x", 1.0), ("y", 2.0)], "g string, v double"),
+        "v", ["g"], 0.0, 10.0, 5,
+    )
+    b = sketches.value_histogram(
+        spark.createDataFrame([("x", 1.0)], "g string, v double"),
+        "v", ["g"], 0.0, 10.0, 5,
+    )
+    out = {r["g"]: r for r in drift.psi_drift(a, b, ["g"], 5).collect()}
+    # a key absent from one snapshot still scores (all-smoothed side)
+    assert set(out) == {"x", "y"}
+    assert out["y"]["n_b"] == 0 and out["y"]["psi"] >= 0.0
