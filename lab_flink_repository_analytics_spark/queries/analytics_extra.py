@@ -1862,6 +1862,38 @@ FROM t GROUP BY 1, 2, 3
 EVENT_DRIFT_SQL = _event_drift_sql()
 
 
+def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram Shannon entropy + vocab size (datapipe/text.py::
+    token_entropy_df): the diversity signal read next to
+    source_mixture_weights when composing a training blend."""
+    from lab_flink_repository_analytics_spark.datapipe import text as TX
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TX.token_entropy_df(docs, ["source"])
+
+
+SOURCE_ENTROPY_SQL = """
+WITH counts AS (
+  SELECT source, w, count(*) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS vocab
+  FROM counts GROUP BY 1
+),
+t AS (
+  SELECT counts.source, n_tokens, vocab,
+         CAST(-((CAST(c AS DOUBLE) / n_tokens) * ln(CAST(c AS DOUBLE) / n_tokens))
+              AS DECIMAL(25,18)) AS term
+  FROM counts JOIN tot ON tot.source = counts.source
+)
+SELECT source, n_tokens, vocab, round(CAST(sum(term) AS DOUBLE), 6) AS entropy
+FROM t GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_top_terms": bm25_top_terms,
@@ -1895,6 +1927,7 @@ QUERIES = {
     "source_mixture_weights": source_mixture_weights,
     "training_order": training_order,
     "event_value_drift": event_value_drift,
+    "source_token_entropy": source_token_entropy,
 }
 
 ORACLES = {
@@ -1929,4 +1962,5 @@ ORACLES = {
     "source_mixture_weights": SOURCE_MIXTURE_SQL,
     "training_order": TRAINING_ORDER_SQL,
     "event_value_drift": EVENT_DRIFT_SQL,
+    "source_token_entropy": SOURCE_ENTROPY_SQL,
 }

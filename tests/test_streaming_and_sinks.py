@@ -895,3 +895,43 @@ def test_compact_parquet_to_size_sees_partitioned_bytes(spark, tmp_path):
     n = sinks.compact_parquet_to_size(spark, path, target_bytes=max(1, total // 3))
     assert 2 <= n <= 6
     assert spark.read.parquet(path).count() == 8_000
+
+
+def test_streaming_histogram_store_feeds_psi_drift(spark, tmp_path):
+    # the live drift gate: a streamed histogram store compared against a
+    # frozen reference sketch via psi_drift must equal the all-batch PSI
+    from lab_flink_repository_analytics_spark.datapipe import drift
+    from lab_flink_repository_analytics_spark.datapipe import sketches as SK
+
+    schema = "event_type string, value double"
+    ref_rows = [("a", float(v % 10)) for v in range(100)]
+    live_rows1 = [("a", float(v % 10 + 3)) for v in range(40)]
+    live_rows2 = [("a", float(v % 10 + 3)) for v in range(40, 90)]
+
+    src = str(tmp_path / "live")
+    store = str(tmp_path / "live_hist")
+    spark.createDataFrame(live_rows1, schema).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = jobs.value_histogram_stream(
+            stream, store, str(tmp_path / "ckpt_drift"), lo=0.0, hi=20.0, bins=10
+        )
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(live_rows2, schema).write.mode("append").parquet(src)
+    run()
+
+    ref = SK.value_histogram(
+        spark.createDataFrame(ref_rows, schema), "value", ["event_type"], 0.0, 20.0, bins=10
+    )
+    live = spark.read.parquet(store)
+    got = drift.psi_drift(ref, live, ["event_type"], 10).collect()[0]
+    batch_live = SK.value_histogram(
+        spark.createDataFrame(live_rows1 + live_rows2, schema),
+        "value", ["event_type"], 0.0, 20.0, bins=10,
+    )
+    want = drift.psi_drift(ref, batch_live, ["event_type"], 10).collect()[0]
+    assert got["psi"] == want["psi"] and got["psi"] > 0.1  # real shift detected
+    assert got["n_b"] == 90
