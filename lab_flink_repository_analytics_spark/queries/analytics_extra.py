@@ -1894,6 +1894,99 @@ FROM t GROUP BY 1, 2, 3
 """
 
 
+OVERLAP_K = 3
+
+
+def source_gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source contamination matrix: Jaccard of the DISTINCT
+    3-gram sets between every pair of sources that share at least one gram
+    — the "who copies whom" view over the same 60-bit gram hashing the
+    duplicate-span operator uses.
+
+    Scale shape: the corpus collapses to the distinct (source, gram)
+    table first (vocab-sized per source), pair expansion happens on the
+    gram key (bounded by #sources per gram, never corpus rows), and the
+    per-source set sizes join back broadcast.  Output: (source_a,
+    source_b, shared_grams, jaccard)."""
+    from lab_flink_repository_analytics_spark.datapipe.text import md5_hash60, tokens
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = tokens("text")
+    n = F.size(toks)
+    grams = F.when(
+        n >= OVERLAP_K,
+        F.transform(
+            F.sequence(F.lit(0), n - OVERLAP_K),
+            lambda i: md5_hash60(
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(toks, (i + j + 1).cast("int"))
+                        for j in range(OVERLAP_K)
+                    ],
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    sg = (
+        docs.select("source", F.explode(grams).alias("g"))
+        .distinct()
+    )
+    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    a = sg.select(F.col("source").alias("source_a"), "g")
+    b = sg.select(F.col("source").alias("source_b"), "g")
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_grams"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("sz").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("sz").alias("nb"))
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            F.round(
+                F.col("shared_grams").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared_grams")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _source_overlap_sql() -> str:
+    k = OVERLAP_K
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+sg AS (
+  SELECT DISTINCT source, ('0x' || substr(md5({parts}), 1, 15))::BIGINT AS g
+  FROM toks, unnest(generate_series(1, len(t) - {k - 1})) AS u(i)
+  WHERE len(t) >= {k}
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM sg GROUP BY 1),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS shared_grams
+  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, shared_grams,
+       round(CAST(shared_grams AS DOUBLE) / (sa.sz + sb.sz - shared_grams), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.source = shared.source_a
+JOIN sizes sb ON sb.source = shared.source_b
+"""
+
+
+SOURCE_OVERLAP_SQL = _source_overlap_sql()
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_top_terms": bm25_top_terms,
@@ -1928,6 +2021,7 @@ QUERIES = {
     "training_order": training_order,
     "event_value_drift": event_value_drift,
     "source_token_entropy": source_token_entropy,
+    "source_gram_overlap": source_gram_overlap,
 }
 
 ORACLES = {
@@ -1963,4 +2057,5 @@ ORACLES = {
     "training_order": TRAINING_ORDER_SQL,
     "event_value_drift": EVENT_DRIFT_SQL,
     "source_token_entropy": SOURCE_ENTROPY_SQL,
+    "source_gram_overlap": SOURCE_OVERLAP_SQL,
 }

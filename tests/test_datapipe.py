@@ -736,3 +736,63 @@ def test_incremental_ingest_null_text_not_dropped(spark, tmp_path):
     # dropped or misreported as a duplicate
     assert r == {"batch": 2, "admitted": 2, "dup_in_batch": 0, "dup_vs_ledger": 0}
     assert spark.read.parquet(ledger).count() == 2
+
+
+def test_duplicate_span_stats_matches_bruteforce_on_random_corpus(spark):
+    # seeded random corpus with injected shared spans; the operator's
+    # closed-form interval math must equal a brute-force union of
+    # [pos, pos+k) intervals computed in plain Python
+    import random
+
+    rng = random.Random(20240814)
+    k = 4
+    vocab = [f"w{i}" for i in range(30)]
+    shared = ["s1", "s2", "s3", "s4", "s5", "s6"]
+    docs_py = {}
+    for d in range(40):
+        n = rng.randint(2, 30)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        if rng.random() < 0.5:  # splice a shared run at a random offset
+            at = rng.randint(0, len(toks))
+            toks = toks[:at] + shared + toks[at:]
+        docs_py[d] = toks
+    # brute force: gram multiset over the whole corpus
+    from collections import Counter
+
+    grams = Counter()
+    for toks in docs_py.values():
+        for i in range(len(toks) - k + 1):
+            grams[tuple(toks[i : i + k])] += 1
+    expected = {}
+    for d, toks in docs_py.items():
+        dup_pos = [
+            i
+            for i in range(len(toks) - k + 1)
+            if grams[tuple(toks[i : i + k])] >= 2
+        ]
+        covered = set()
+        for i in dup_pos:
+            covered.update(range(i, i + k))
+        expected[d] = (len(toks), len(dup_pos), len(covered))
+
+    df = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in docs_py.items()], "doc_id bigint, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["dup_positions"], r["dup_token_cov"])
+        for r in TX.duplicate_span_stats_df(df, k=k, min_count=2).collect()
+    }
+    assert out == expected
+
+
+def test_source_gram_overlap_detects_copying(spark, sf_dir):
+    from lab_flink_repository_analytics_spark.queries import analytics_extra as AX
+
+    rows = AX.source_gram_overlap(spark, sf_dir).collect()
+    # fixture has 20 sources sharing a small vocab: every pair overlaps,
+    # canonical ordering holds, and jaccard stays in (0, 1]
+    assert len(rows) == 190
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0.0 < r["jaccard"] <= 1.0
+        assert r["shared_grams"] > 0
