@@ -152,52 +152,66 @@ def pagerank_int(
     0.85).  Undirected degree ≥ 1 everywhere, so there is no dangling-mass
     term.
 
-    Scale shape: per iteration one join of the rank table onto the
-    bidirected edge list (shuffle on src) and one aggregation on dst —
-    identical to the min-label rounds of :func:`connected_components`; the
-    driver loop is ``iters`` deep with each round's lineage cut by the
-    aggregation.  Returns (node, pr) with ranks in scaled units.
+    Scale shape: the source-degree is folded into the bidirected edge
+    table ONCE (one prep join), and that (src, dst, deg) table plus the
+    static (node, deg) list are eagerly localCheckpoint-ed before the
+    loop — so per iteration the plan is exactly one shuffle-hash join of
+    the narrow (node, pr) rank table onto the edge table, one aggregation
+    on dst, and one join back onto the static node list.  The rank table
+    is itself checkpointed each iteration: lineage stays one-round deep,
+    so a storage eviction mid-loop re-reads a materialized block instead
+    of cascading the recompute through every prior round (round 3's
+    persist-slot form did cascade under a concurrent pool and regressed
+    3.5×).  On a cluster the localCheckpoints become reliable
+    checkpoints.  Returns (node, pr) with ranks in scaled units.
     """
     from pyspark import StorageLevel
-    from lab_flink_repository_analytics_spark.session import persist_bounded
+    from lab_flink_repository_analytics_spark.session import (
+        persist_bounded,
+        release_persist_slot,
+    )
 
     both = persist_bounded(
         _bidirect(edges, "pa", "pb").select(
             F.col("a").alias("src"), F.col("b").alias("dst")
         ),
-        # consumed by deg + every iteration's join: materialize once;
-        # slot-bounded so repeated pagerank calls don't accumulate caches
+        # consumed twice below (degree count + deg-fold join); released as
+        # soon as the folded edge table is materialized
         "graph.pagerank.edges",
         StorageLevel.MEMORY_AND_DISK,
     )
-    deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = both.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).withColumnRenamed("src", "node").localCheckpoint(eager=True)
+    ebd = (
+        both.join(deg.hint("shuffle_hash"), both["src"] == deg["node"])
+        .select("src", "dst", "deg")
+        .localCheckpoint(eager=True)
+    )
+    release_persist_slot("graph.pagerank.edges")
     n = deg.count()  # node count: driver-side scalar, node-cardinality agg
     base = (scale * (d_den - d_num)) // (d_den * n)
-    pr = deg.select(
-        F.col("src").alias("node"),
-        "deg",
-        F.lit(scale // n).cast("bigint").alias("pr"),
-    )
+    pr = deg.select("node", F.lit(scale // n).cast("bigint").alias("pr"))
     for _ in range(iters):
         # never broadcast the rank table: it is node-cardinality and grows
         # with the graph — shuffle-hash keeps both joins keyed on the node
         # id at any scale (and keeps AQE from broadcasting mid-iteration)
         contrib = (
-            both.join(pr.hint("shuffle_hash"), both["src"] == pr["node"])
+            ebd.join(pr.hint("shuffle_hash"), ebd["src"] == pr["node"])
             .select("dst", F.expr("pr DIV deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
         pr = (
-            pr.select("node", "deg")
-            .join(contrib.hint("shuffle_hash"), pr["node"] == contrib["dst"], "left")
+            deg.select("node")
+            .join(contrib.hint("shuffle_hash"), deg["node"] == contrib["dst"], "left")
             .select(
                 "node",
-                "deg",
                 (
                     F.lit(base)
                     + F.expr(f"({d_num} * coalesce(inflow, 0)) DIV {d_den}")
                 ).cast("bigint").alias("pr"),
             )
+            .localCheckpoint(eager=True)
         )
     return pr.select("node", "pr")

@@ -545,6 +545,11 @@ FROM runs GROUP BY user_id
 # ---------------------------------------------------------------------------
 # Triangle counting / global clustering coefficient (co-purchase graph)
 
+#: edge-count bound below which copurchase_triangles uses the broadcast
+#: array-intersect edge-iterator; above it, the shuffled degree-ordered
+#: wedge join (module-level so tests can force the scale-out path)
+TRIANGLES_ARRAY_PATH_MAX_EDGES = 32_000_000
+
 
 def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + global clustering coefficient of the part
@@ -553,18 +558,18 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the edge list builds from ONE self-join on l_orderkey
     (orders are small groups, so the pair expansion is bounded per order);
-    triangle enumeration is the DEGREE-ORDERED (compact-forward) two-hop
-    join: every edge is oriented from its lower-(degree, id) endpoint to
-    the higher one, wedges expand only from out-neighbor pairs, and an
-    oriented semi join closes them.  Out-degree under this orientation is
-    O(√m) regardless of skew, so a celebrity node with degree d costs
-    O(√m · d) instead of the un-oriented form's O(d²) — the standard
-    bound every distributed triangle count relies on (round-2 VERDICT
-    suggested exactly this hardening).  Every join is an equi-join on a
-    node column, shuffled by key, no nested loop; wedge counts for the
-    clustering coefficient come from degrees, not enumeration.  The
-    result is orientation-invariant, so the DuckDB oracle keeps the
-    direct formulation."""
+    every edge is oriented from its lower-(degree, id) endpoint to the
+    higher one, and triangles are counted once each at their two
+    highest-(deg, id) vertices.  Two physical strategies behind one
+    logical plan, switched on the materialized edge count: below 32M
+    edges, an edge-iterator with broadcast sorted in-neighbor arrays and
+    codegen ``array_intersect`` (no wedge-row materialization at all);
+    above, the degree-ordered wedge join whose out-degree bound is O(√m)
+    regardless of skew — the standard bound every distributed triangle
+    count relies on.  Every join is an equi-join on a node column; wedge
+    counts for the clustering coefficient come from degrees, not
+    enumeration.  The result is orientation-invariant, so the DuckDB
+    oracle keeps the direct formulation."""
     t = load_tables(spark, sf_dir)
     li = t["lineitem"].select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
@@ -574,63 +579,109 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
         .distinct()
     )
-    # the edge list feeds four consumers (deg, orientation, count) —
-    # without a persist each one would redo the self-join + distinct.  At
-    # 100 TB this is the standard materialize-the-edge-list step of every
-    # distributed triangle count (MEMORY_AND_DISK: spills, never
-    # recomputes; slot-bounded so bench loops don't accumulate caches).
+    # Staged materialization (round-4 rework of the round-3 regression):
+    # 1. edge list persisted + counted eagerly — one cached artifact, and
+    #    the count doubles as the result's n_edges scalar;
+    # 2. degree table persisted + materialized — 20k-row node-cardinality
+    #    table with ACCURATE InMemoryRelation stats, so Catalyst plans the
+    #    two orientation joins as broadcast hash joins by itself (at 100×
+    #    the degree table outgrows the threshold and the same code falls
+    #    back to shuffled equi-joins — no hint pinning the wrong choice);
+    # 3. oriented list eagerly localCheckpoint-ed (lineage cut: its three
+    #    consumers re-read materialized blocks, never recompute the join
+    #    chain), after which the edge cache is RELEASED — the query holds
+    #    one heavyweight cached artifact at any moment instead of r3's two
+    #    for the whole lifetime, which thrashed storage under a pool.
+    #    On a cluster the localCheckpoint becomes a reliable checkpoint.
     from pyspark import StorageLevel
-    from lab_flink_repository_analytics_spark.session import persist_bounded
+    from lab_flink_repository_analytics_spark.session import (
+        persist_bounded,
+        release_persist_slot,
+    )
 
     edges = persist_bounded(edges, "triangles.edges", StorageLevel.MEMORY_AND_DISK)
-    # wedges: sum over nodes of C(deg, 2)
-    deg = (
+    deg = persist_bounded(
         edges.select(F.col("pa").alias("node"))
         .unionAll(edges.select(F.col("pb").alias("node")))
         .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.count(F.lit(1)).alias("deg")),
+        "triangles.deg",
     )
+    deg.count()  # one job materializes BOTH caches (edges, then deg)
+    # edge count off the cached degree table (Σ deg = 2m) — no second
+    # full pass over the edge cache just to count it
+    ne = int(deg.agg(F.sum("deg")).first()[0]) // 2
+    # wedges: sum over nodes of C(deg, 2) — straight off the degree table
     wedges = deg.agg(
         F.sum(F.expr("CAST(deg * (deg - 1) / 2 AS BIGINT)")).alias("n_wedges")
     )
-    # orient each edge low-(deg, id) → high-(deg, id); carry the dst's
-    # (deg, id) key so the wedge join can order out-neighbors without
-    # another degree lookup
+    # orient each edge low-(deg, id) → high-(deg, id)
     ed = edges.join(
         deg.select(F.col("node").alias("pa"), F.col("deg").alias("da")), "pa"
     ).join(deg.select(F.col("node").alias("pb"), F.col("deg").alias("db")), "pb")
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
     )
-    ka = F.struct(F.col("da").alias("d"), F.col("pa").alias("n"))
-    kb = F.struct(F.col("db").alias("d"), F.col("pb").alias("n"))
-    oriented = persist_bounded(
-        ed.select(
+    if ne <= TRIANGLES_ARRAY_PATH_MAX_EDGES:
+        # Edge-iterator path (graph fits comfortably in one executor's
+        # memory): per oriented edge (x, y), triangles close at the common
+        # in-neighbors |I(x) ∩ I(y)| — each triangle counted exactly once
+        # at its two highest-(deg, id) vertices.  The in-neighbor arrays
+        # total one entry per edge, so the broadcast is ~the edge list
+        # itself; the intersection runs as codegen array_intersect in
+        # place — no wedge materialization, no Σ outdeg²-row shuffle.
+        oriented = ed.select(
+            F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("u"),
+            F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("v"),
+        ).localCheckpoint(eager=True)
+        release_persist_slot("triangles.edges")
+        inn = oriented.groupBy("v").agg(
+            F.array_sort(F.collect_list("u")).alias("nbrs")
+        )
+        ix = inn.select(F.col("v").alias("x"), F.col("nbrs").alias("ix"))
+        iy = inn.select(F.col("v").alias("y"), F.col("nbrs").alias("iy"))
+        tri = (
+            oriented.select(F.col("u").alias("x2"), F.col("v").alias("y2"))
+            .join(F.broadcast(ix), F.col("x2") == F.col("x"))
+            .join(F.broadcast(iy), F.col("y2") == F.col("y"))
+            .select(F.size(F.array_intersect("ix", "iy")).alias("c"))
+            .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_triangles"))
+        )
+    else:
+        # Scale-out path (the 100 TB shape): degree-ordered wedge join —
+        # out-wedge (u→v, u→w) with kv < kw, closed by a shuffled semi
+        # join on the oriented edge v→w.  Out-degree is O(√m) under the
+        # orientation so the wedge stream is bounded, every join is a
+        # node-keyed equi-join, AQE splits skewed wedge partitions.  (The
+        # array path above would put a celebrity node's whole
+        # in-neighborhood in one row — fine below the bound, not at 100×.)
+        ka = F.struct(F.col("da").alias("d"), F.col("pa").alias("n"))
+        kb = F.struct(F.col("db").alias("d"), F.col("pb").alias("n"))
+        oriented = ed.select(
             F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("u"),
             F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("v"),
             F.when(a_first, kb).otherwise(ka).alias("kv"),
-        ),
-        "triangles.oriented",
-        StorageLevel.MEMORY_AND_DISK,
-    )
-    # each triangle counted exactly once, at its minimum-key vertex u:
-    # out-wedge (u→v, u→w) with kv < kw, closed by the oriented edge v→w
-    o2 = oriented.select(
-        F.col("u").alias("u2"), F.col("v").alias("w"), F.col("kv").alias("kw")
-    )
-    e3 = oriented.select(F.col("u").alias("ra"), F.col("v").alias("rb"))
-    tri = (
-        oriented.join(o2, (F.col("u") == F.col("u2")) & (F.col("kv") < F.col("kw")))
-        .join(
-            e3,
-            (F.col("v") == F.col("ra")) & (F.col("w") == F.col("rb")),
-            "left_semi",
+        ).localCheckpoint(eager=True)
+        release_persist_slot("triangles.edges")
+        o2 = oriented.select(
+            F.col("u").alias("u2"), F.col("v").alias("w"), F.col("kv").alias("kw")
         )
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
-    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+        e3 = oriented.select(F.col("u").alias("ra"), F.col("v").alias("rb"))
+        tri = (
+            oriented.join(
+                o2, (F.col("u") == F.col("u2")) & (F.col("kv") < F.col("kw"))
+            )
+            .join(
+                e3,
+                (F.col("v") == F.col("ra")) & (F.col("w") == F.col("rb")),
+                "left_semi",
+            )
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
+        )
     return (
-        n_edges.crossJoin(F.broadcast(tri))
+        spark.range(1)
+        .select(F.lit(ne).cast("bigint").alias("n_edges"))
+        .crossJoin(F.broadcast(tri))
         .crossJoin(F.broadcast(wedges))
         .withColumn(
             "clustering_coefficient",

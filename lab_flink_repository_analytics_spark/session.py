@@ -140,6 +140,17 @@ def release_persist_slots() -> None:
     _PERSIST_SLOTS.clear()
 
 
+def release_persist_slot(slot: str) -> None:
+    """Drop ONE slot-cached intermediate as soon as its last consumer has
+    materialized — iterative/staged operators (triangle orientation,
+    PageRank prep) use this to keep at most one heavyweight cached
+    artifact alive at a time instead of stacking caches for the whole
+    query, which under a shared executor pool evicts someone else's."""
+    prev = _PERSIST_SLOTS.pop(slot, None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+
+
 def rebalance(df, factor: int = 1, expected_splits: int | None = None):
     """Ensure at least ``defaultParallelism × factor`` partitions before a
     data-amplifying stage (explode of shingles/files, quadratic block join).

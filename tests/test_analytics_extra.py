@@ -156,3 +156,14 @@ def test_fuzzy_blocking_is_lossless(spark, sf_dir):
     )
     blocked = AX.fuzzy_name_pairs(spark, sf_dir).select("k1", "k2")
     assert sorted(map(tuple, blocked.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_triangles_both_physical_paths_agree(spark, sf_dir, monkeypatch):
+    """The broadcast array-intersect edge-iterator (small-graph path) and
+    the shuffled degree-ordered wedge join (100 TB path) are two physical
+    strategies for one logical result — force each and compare."""
+    small = AX.copurchase_triangles(spark, sf_dir).collect()[0]
+    monkeypatch.setattr(AX, "TRIANGLES_ARRAY_PATH_MAX_EDGES", 0)
+    big = AX.copurchase_triangles(spark, sf_dir).collect()[0]
+    assert small.asDict() == big.asDict()
+    assert small["n_triangles"] > 0
