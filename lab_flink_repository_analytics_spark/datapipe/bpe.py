@@ -105,6 +105,7 @@ def train_state(
     docs: DataFrame,
     n_merges: int = 3,
     text_col: str = "text",
+    repersist_every: int = 8,
 ) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
     """Run the merge loop; returns (merge list, post-merge word table).
 
@@ -115,8 +116,20 @@ def train_state(
     Ties break deterministically: highest frequency, then lexicographically
     smallest ``"left right"`` pair string — pinned identically in the
     DuckDB oracle (``ORDER BY freq DESC, pair ASC LIMIT 1``).
+
+    Every ``repersist_every`` merges the word table is eagerly
+    re-materialized (localCheckpoint, predecessor cache released): each
+    ``apply_merge`` stacks a ``replace`` on the lineage, so without the
+    cut, iteration i would recompute all i-1 prior merges in every
+    pair-count pass — quadratic work and unboundedly deep codegen plans at
+    realistic vocab sizes (thousands of merges).  Between cuts the plan is
+    at most ``repersist_every`` replaces over a materialized base — the
+    same bounded-lineage pattern as Lloyd k-means' iterative persists.
     """
-    from lab_flink_repository_analytics_spark.session import persist_bounded
+    from lab_flink_repository_analytics_spark.session import (
+        persist_bounded,
+        release_persist_slot,
+    )
 
     cur = persist_bounded(
         word_frequencies(docs, text_col).select(
@@ -136,6 +149,12 @@ def train_state(
         left, right = top["pair"].split(" ", 1)
         merges.append((step, left, right, left + right, top["freq"]))
         cur = apply_merge(cur, left, right)
+        if step % repersist_every == 0:
+            # materialize the new state FIRST, then drop the old base —
+            # releasing before the checkpoint would force a from-scratch
+            # recompute of the whole merge chain
+            cur = cur.localCheckpoint(eager=True)
+            release_persist_slot("bpe.words")
     return merges, cur
 
 

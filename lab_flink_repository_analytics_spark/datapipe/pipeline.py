@@ -214,8 +214,14 @@ def incremental_ingest(
         admitted = per_fp.join(ledger, "fp", "left_anti")
     except AnalysisException:  # first batch: ledger path does not exist yet
         admitted = per_fp
+    # materialize BEFORE appending: the anti-join reads the same ledger
+    # path the append writes to, so the count and the write must come from
+    # ONE computed result — a lineage-carrying plan re-executed by the
+    # write (or a task retry) could re-list the destination mid-append.
+    # The checkpoint also collapses count + write into a single scan.
+    admitted = admitted.select("fp", "keep_id").localCheckpoint(eager=True)
     n_admitted = admitted.count()
-    admitted.select("fp", "keep_id").write.mode("append").parquet(ledger_dir)
+    admitted.write.mode("append").parquet(ledger_dir)
     return {
         "batch": n_batch,
         "admitted": n_admitted,

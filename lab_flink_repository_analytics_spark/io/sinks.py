@@ -180,14 +180,34 @@ def fan_out(df: DataFrame, writers: list) -> None:
         df.unpersist()
 
 
+def _detect_partition_cols(spark: SparkSession, path: str) -> list[str]:
+    """Hive-style partition columns of a parquet directory, outermost
+    first — read off the ``k=v`` directory chain, not the schema (the
+    schema doesn't say which columns are layout)."""
+    fs, jpath = _hadoop_fs(spark, path)
+    cols: list[str] = []
+    cur = jpath
+    while True:
+        sub = [
+            st.getPath()
+            for st in fs.listStatus(cur)
+            if st.isDirectory() and "=" in st.getPath().getName()
+        ]
+        if not sub:
+            return cols
+        cols.append(sub[0].getName().split("=", 1)[0])
+        cur = sub[0]
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
     target_rows_per_file: int = 1_000_000,
     sort_cols: list[str] | None = None,
+    partition_cols: list[str] | None = None,
 ) -> int:
     """Rewrite a parquet directory into right-sized files; returns the new
-    file count.
+    file (task) count.
 
     Streaming ``foreachBatch`` upserts and frequent small appends leave
     thousands of tiny files — at 100 TB that's a listing/footer-overhead
@@ -197,20 +217,33 @@ def compact_parquet(
     selective and row-group skipping works), and atomically swaps via a
     temp directory + rename.  The Delta/Iceberg equivalent is OPTIMIZE
     [ZORDER]; this is the plain-parquet fallback with the same contract.
+
+    Hive-partitioned datasets (``split=.../part-*.parquet``) keep their
+    layout: partition columns are auto-detected from the directory chain
+    (or passed explicitly) and the rewrite goes through
+    ``partitionBy(...)`` with the range-shuffle keyed on the partition
+    columns first, so each output task holds ~one partition value and the
+    file-count target survives the partitioned write.
     """
     from pyspark.sql import functions as F  # noqa: F401 (parity w/ module style)
 
+    if partition_cols is None:
+        partition_cols = _detect_partition_cols(spark, path)
     df = spark.read.parquet(path)
     rows = df.count()
     n_files = max(1, -(-rows // target_rows_per_file))
-    if sort_cols:
-        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
-            *sort_cols
-        )
+    range_cols = [*(partition_cols or []), *(sort_cols or [])]
+    if range_cols:
+        out = df.repartitionByRange(n_files, *range_cols)
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
     else:
         out = df.repartition(n_files)
     tmp = path.rstrip("/") + "__compact_tmp"
-    out.write.mode("overwrite").parquet(tmp)
+    writer = out.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
     fs, jpath = _hadoop_fs(spark, path)
     _rm(spark, path)
     fs.rename(
@@ -225,6 +258,7 @@ def compact_parquet_to_size(
     path: str,
     target_bytes: int = 512 * 1024 * 1024,
     sort_cols: list[str] | None = None,
+    partition_cols: list[str] | None = None,
 ) -> int:
     """Byte-targeted compaction: choose the output file count from the
     directory's ACTUAL parquet bytes (post-encoding, post-compression),
@@ -250,7 +284,11 @@ def compact_parquet_to_size(
     n_files = max(1, -(-total // max(1, target_bytes)))
     target_rows = max(1, -(-rows // n_files))
     return compact_parquet(
-        spark, path, target_rows_per_file=target_rows, sort_cols=sort_cols
+        spark,
+        path,
+        target_rows_per_file=target_rows,
+        sort_cols=sort_cols,
+        partition_cols=partition_cols,
     )
 
 

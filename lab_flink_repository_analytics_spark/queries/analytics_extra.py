@@ -1382,10 +1382,13 @@ FROM events
 
 def ffd_packing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-document bin packing (FFD) at capacity 256, summarized per
-    shard.  Greedy bin state is inherently procedural, so this is the one
-    suite entry with no SQL oracle: the driver records a rows-only check;
-    tests/test_packing.py pins the packing invariants (capacity, identity,
-    determinism, first-fit sparseness bound) instead."""
+    shard.  Greedy bin state is procedural (Arrow ``applyInPandas`` per
+    shard), but the fold is DETERMINISTIC given the pinned (size desc, id
+    asc) order — so the DuckDB oracle replays the identical first-fit fold
+    with ``list_reduce`` carrying the bin-remainder list as its
+    accumulator (the ``user_value_ewma``/``bpe_merges`` trick, extended
+    from scalar to list state); tests/test_packing.py pins the packing
+    invariants (capacity, identity, determinism, sparseness bound)."""
     from lab_flink_repository_analytics_spark.datapipe import packing as P
     from lab_flink_repository_analytics_spark.datapipe import text as TX
 
@@ -1393,6 +1396,46 @@ def ffd_packing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", TX.token_count("text").alias("n_tokens")
     )
     return P.packing_summary(P.first_fit_pack(docs, 256), 256)
+
+
+# The first-fit fold replayed in SQL: elements are singleton lists so the
+# accumulator (the bin-remainder list) type-matches; a prepended empty
+# list is the initial state.  list_position returns 0 on no-fit (DuckDB
+# 1.0; coalesce guards NULL-returning versions) → open a new bin;
+# otherwise decrement the first bin with room.  Oversize docs occupy a
+# dedicated rem=0 bin, exactly like datapipe/packing.py::first_fit_pack.
+FFD_PACKING_SQL = """
+WITH d AS (
+  SELECT doc_id, lang AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+folded AS (
+  SELECT shard,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN n_tokens > 256 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oversize_bins,
+         CAST(len(list_reduce(
+           list_prepend(CAST([] AS BIGINT[]),
+             list_transform(list(n_tokens ORDER BY n_tokens DESC, doc_id ASC),
+                            s -> [s])),
+           (acc, x) -> CASE
+             WHEN x[1] > 256 THEN list_append(acc, CAST(0 AS BIGINT))
+             WHEN coalesce(list_position(
+                    list_transform(acc, r -> r >= x[1]), true), 0) = 0
+               THEN list_append(acc, CAST(256 - x[1] AS BIGINT))
+             ELSE list_transform(acc, (r, i) ->
+                    CASE WHEN i = list_position(
+                           list_transform(acc, rr -> rr >= x[1]), true)
+                         THEN CAST(r - x[1] AS BIGINT) ELSE r END)
+           END)) AS BIGINT) AS n_bins
+  FROM d GROUP BY shard
+)
+SELECT shard, n_bins, total_tokens,
+       round(CAST(total_tokens AS DOUBLE) / (n_bins * 256), 6) AS fill_rate,
+       n_oversize_bins
+FROM folded
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2084,6 +2127,7 @@ ORACLES = {
     "scd2_purchase_segments": SCD2_PURCHASE_SEGMENTS_SQL,
     "customer_skyline": SKYLINE_SQL,
     "dq_checks": DQ_CHECKS_SQL,
+    "ffd_packing_summary": FFD_PACKING_SQL,
     "event_gap_stats": EVENT_GAP_SQL,
     "cube_order_stats": CUBE_SQL,
     "unified_activity": UNIFIED_ACTIVITY_SQL,

@@ -571,6 +571,22 @@ def test_bpe_train_merges_greedy_and_tiebreak(spark):
     ]
 
 
+def test_bpe_periodic_recheckpoint_preserves_model(spark):
+    from lab_flink_repository_analytics_spark.datapipe import bpe as BPE
+
+    # a merge count crossing several re-checkpoint boundaries must learn
+    # the identical model (the lineage cut is a physical-only change)
+    docs = spark.createDataFrame(
+        [(1, "banana bandana band and an anna")], "doc_id bigint, text string"
+    )
+    uncut, w1 = BPE.train_state(docs, n_merges=9, repersist_every=100)
+    cut, w2 = BPE.train_state(docs, n_merges=9, repersist_every=2)
+    assert uncut == cut and len(cut) > 4
+    s1 = {r["w"]: r["subwords"] for r in BPE.segment_words(w1).collect()}
+    s2 = {r["w"]: r["subwords"] for r in BPE.segment_words(w2).collect()}
+    assert s1 == s2
+
+
 def test_bpe_merge_application_is_greedy_left_to_right(spark):
     from lab_flink_repository_analytics_spark.datapipe import bpe as BPE
 

@@ -895,6 +895,19 @@ def test_compact_parquet_to_size_sees_partitioned_bytes(spark, tmp_path):
     n = sinks.compact_parquet_to_size(spark, path, target_bytes=max(1, total // 3))
     assert 2 <= n <= 6
     assert spark.read.parquet(path).count() == 8_000
+    # the Hive partition layout must SURVIVE compaction — the rewrite goes
+    # through partitionBy, so split=... stays a directory level (partition
+    # pruning keeps working), not a demoted data column in flat files
+    import os
+    subdirs = sorted(
+        d for d in os.listdir(path) if d.startswith("split=")
+    )
+    assert subdirs == ["split=0", "split=1", "split=2"]
+    assert not glob.glob(path + "/*.parquet")  # no flat data files
+    pruned = spark.read.parquet(path).filter("split = '1'")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(split" in plan
+    assert pruned.count() == sum(1 for i in range(8_000) if i % 3 == 1)
 
 
 def test_streaming_histogram_store_feeds_psi_drift(spark, tmp_path):
