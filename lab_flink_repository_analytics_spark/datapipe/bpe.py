@@ -45,9 +45,14 @@ SEP = "\u001f"
 
 
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(word, wc) over the corpus — the single corpus-scale pass."""
+    """(word, wc) over the corpus — the single corpus-scale pass
+    (rebalanced first: a narrow local scan must spread before the
+    amplifying token explode; no-op on a many-split cluster scan)."""
+    from lab_flink_repository_analytics_spark.session import rebalance
+
     return (
-        docs.select(F.explode(tokens(text_col)).alias("w"))
+        rebalance(docs)
+        .select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
     )

@@ -398,11 +398,19 @@ def boilerplate_gram_stats_df(
             ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    pairs = (
+    from pyspark import StorageLevel
+
+    from lab_flink_repository_analytics_spark.session import persist_bounded
+
+    # consumed twice (document-frequency rollup + the per-doc join) —
+    # persist so the gram explode+hash pass runs once
+    pairs = persist_bounded(
         rebalance(docs)
         .select(F.col(id_col).alias("doc_id"), F.explode_outer(grams).alias("g"))
         .groupBy("doc_id", "g")
-        .agg(F.count(F.when(F.col("g").isNotNull(), 1)).alias("cnt"))
+        .agg(F.count(F.when(F.col("g").isNotNull(), 1)).alias("cnt")),
+        "text.boiler.pairs",
+        StorageLevel.MEMORY_AND_DISK,
     )
     # corpus document-frequency per gram: pairs are already distinct per
     # doc, so one count per gram is "docs containing", not occurrences
@@ -437,6 +445,7 @@ def bigram_logprob_scores_df(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: int = 1,
+    head_k: int = 65536,
 ):
     """Self-perplexity proxy: score every document under a word-bigram LM
     fitted on the corpus itself (the KenLM-style quality signal of
@@ -470,7 +479,13 @@ def bigram_logprob_scores_df(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    doc_bi = (
+    from pyspark import StorageLevel
+
+    from lab_flink_repository_analytics_spark.session import persist_bounded
+
+    # consumed three times (corpus bigram counts, vocab size, per-doc
+    # scoring join) — persist so the bigram explode pass runs once
+    doc_bi = persist_bounded(
         rebalance(docs)
         .select(
             F.col(id_col).alias("doc_id"),
@@ -480,7 +495,9 @@ def bigram_logprob_scores_df(
         # positions → multiplicities: the ONLY stage that touches every
         # bigram occurrence; everything downstream moves distinct pairs
         .groupBy("doc_id", "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.count(F.lit(1)).alias("cnt")),
+        "text.bigram.docbi",
+        StorageLevel.MEMORY_AND_DISK,
     )
 
     bi_counts = (
@@ -495,6 +512,7 @@ def bigram_logprob_scores_df(
     model = bi_counts.join(uni_counts, "w1").crossJoin(F.broadcast(vocab)).select(
         "w1",
         "w2",
+        "c12",
         (
             -F.log(
                 (F.col("c12") + F.lit(alpha))
@@ -502,8 +520,35 @@ def bigram_logprob_scores_df(
             )
         ).alias("nll"),
     )
+    # Zipf-skew hardening for the scoring join, gated on the materialized
+    # doc-bigram cardinality (one count over the cache): when the distinct
+    # doc-bigram table dwarfs ``head_k``, the hottest bigrams carry most
+    # of the corpus mass, so the head of the model (top ``head_k`` by
+    # corpus count — a BOUNDED set, broadcastable at any corpus size)
+    # joins map-side and only head-misses go through the shuffled
+    # (w1, w2)-keyed join, whose key distribution is now the tail — AQE's
+    # skew splitting never has to chase the head keys at 100×.  Below the
+    # gate the whole model fits a single healthy shuffle join and the
+    # two-branch union would cost more than it saves.
+    if doc_bi.count() > 32 * head_k:
+        head = F.broadcast(
+            model.orderBy(F.desc("c12"), "w1", "w2")
+            .limit(head_k)
+            .select("w1", "w2", F.col("nll").alias("nll_h"))
+        )
+        hit = doc_bi.join(head, ["w1", "w2"], "left")
+        scored = hit.filter(F.col("nll_h").isNotNull()).select(
+            "doc_id", "w1", "w2", "cnt", F.col("nll_h").alias("nll")
+        ).unionByName(
+            hit.filter(F.col("nll_h").isNull())
+            .select("doc_id", "w1", "w2", "cnt")
+            .join(model.select("w1", "w2", "nll"), ["w1", "w2"], "left")
+            .select("doc_id", "w1", "w2", "cnt", "nll")
+        )
+    else:
+        scored = doc_bi.join(model.select("w1", "w2", "nll"), ["w1", "w2"], "left")
     return (
-        doc_bi.join(model, ["w1", "w2"], "left")
+        scored
         .groupBy("doc_id")
         .agg(
             F.sum(F.when(F.col("w1").isNotNull(), F.col("cnt")).otherwise(0))
@@ -598,12 +643,21 @@ def duplicate_span_stats_df(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,g:bigint>>"))
-    pairs = (
+    from pyspark import StorageLevel
+
+    from lab_flink_repository_analytics_spark.session import persist_bounded
+
+    # consumed twice (corpus-frequency rollup + the duplicated-position
+    # join) — persist so the gram explode+hash pass runs once; data-scale
+    # at 100 TB, so MEMORY_AND_DISK (spills, never recomputes)
+    pairs = persist_bounded(
         rebalance(docs)
         .select(F.col(id_col).alias("doc_id"), F.explode(gram_pos).alias("pg"))
         .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
         .groupBy("doc_id", "g")
-        .agg(F.sort_array(F.collect_list("pos")).alias("poss"))
+        .agg(F.sort_array(F.collect_list("pos")).alias("poss")),
+        "text.dupspan.pairs",
+        StorageLevel.MEMORY_AND_DISK,
     )
     dupg = (
         pairs.groupBy("g")
@@ -669,10 +723,19 @@ def token_entropy_df(
     both engines; only the SUM order would differ — decimals remove
     that).  Output: (group_cols…, n_tokens, vocab, entropy).
     """
-    counts = (
-        docs.select(*group_cols, F.explode(tokens(text_col)).alias("w"))
+    from lab_flink_repository_analytics_spark.session import (
+        persist_bounded,
+        rebalance,
+    )
+
+    # consumed twice (per-group totals + the entropy-term join) — persist
+    # so the corpus explode runs once
+    counts = persist_bounded(
+        rebalance(docs)
+        .select(*group_cols, F.explode(tokens(text_col)).alias("w"))
         .groupBy(*group_cols, "w")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).alias("c")),
+        "text.entropy.counts",
     )
     totals = counts.groupBy(*group_cols).agg(
         F.sum("c").cast("bigint").alias("n_tokens"),

@@ -44,12 +44,22 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens); N broadcasts as a one-row scalar.  The per-document top-3 is a
     doc_id-partitioned window — WindowGroupLimit keeps only 3 rows per doc
     below the final exchange."""
+    from lab_flink_repository_analytics_spark.session import (
+        persist_bounded,
+        rebalance,
+    )
+
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    tf = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    # tf feeds the document-frequency rollup AND the scoring join; persist
+    # so the corpus explode runs once (rebalance spreads a narrow local
+    # scan before the amplifying explode — no-op on a many-split scan)
+    tf = persist_bounded(
+        rebalance(docs)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf")),
+        "analytics.tfidf.tf",
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -107,12 +117,21 @@ def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     with WindowGroupLimit pushdown.  IDF uses the standard
     ``ln(1 + (N - df + 0.5)/(df + 0.5))`` form; operand order is identical
     in the DuckDB twin so scores hash-match at round(…, 6)."""
+    from lab_flink_repository_analytics_spark.session import (
+        persist_bounded,
+        rebalance,
+    )
+
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    tf = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    # tf feeds three consumers (doc lengths, document frequency, scoring
+    # join) — persist so the corpus explode runs once
+    tf = persist_bounded(
+        rebalance(docs)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf")),
+        "analytics.bm25.tf",
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -1047,9 +1066,11 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     build is correct under any partitioning.  At 100 TB postings get
     delta-encoded and bucketed by term — the aggregation shape here is
     already that plan's map side."""
+    from lab_flink_repository_analytics_spark.session import rebalance
+
     t = load_tables(spark, sf_dir)
     return (
-        t["documents"]
+        rebalance(t["documents"])
         .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("term")
         .agg(
@@ -2022,9 +2043,22 @@ def source_gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    sg = (
-        docs.select("source", F.explode(grams).alias("g"))
-        .distinct()
+    from pyspark import StorageLevel
+    from lab_flink_repository_analytics_spark.session import (
+        persist_bounded,
+        rebalance,
+    )
+
+    # consumed three times (set sizes + both sides of the pair join) —
+    # one persist keeps the explode+hash+distinct pass from running thrice
+    # (MEMORY_AND_DISK: at 100 TB this is a data-scale distinct table that
+    # spills rather than recomputes).  rebalance: the explode+hash is the
+    # data-amplifying map stage — a narrow local scan must spread before
+    # it (no-op on a many-split cluster scan).
+    sg = persist_bounded(
+        rebalance(docs).select("source", F.explode(grams).alias("g")).distinct(),
+        "analytics.overlap.sg",
+        StorageLevel.MEMORY_AND_DISK,
     )
     sizes = sg.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
     a = sg.select(F.col("source").alias("source_a"), "g")

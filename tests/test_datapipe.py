@@ -571,6 +571,24 @@ def test_bpe_train_merges_greedy_and_tiebreak(spark):
     ]
 
 
+def test_bigram_lm_hybrid_head_join_matches_plain(spark, sf_dir):
+    from lab_flink_repository_analytics_spark.datapipe import text as TX
+    from lab_flink_repository_analytics_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    plain = {
+        r["doc_id"]: r.asDict()
+        for r in TX.bigram_logprob_scores_df(docs).collect()
+    }
+    # head_k=1 drops the hybrid gate below the corpus size, forcing the
+    # broadcast-head + shuffled-tail split — results must be identical
+    hybrid = {
+        r["doc_id"]: r.asDict()
+        for r in TX.bigram_logprob_scores_df(docs, head_k=1).collect()
+    }
+    assert plain == hybrid and len(plain) > 0
+
+
 def test_bpe_periodic_recheckpoint_preserves_model(spark):
     from lab_flink_repository_analytics_spark.datapipe import bpe as BPE
 
