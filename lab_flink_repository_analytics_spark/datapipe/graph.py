@@ -212,6 +212,10 @@ def pagerank_int(
                     + F.expr(f"({d_num} * coalesce(inflow, 0)) DIV {d_den}")
                 ).cast("bigint").alias("pr"),
             )
-            .localCheckpoint(eager=True)
+            # non-eager: the single final action materializes each round
+            # once and truncates its lineage as it goes — same
+            # eviction-cascade protection as an eager checkpoint without
+            # adding a blocking driver job per iteration
+            .localCheckpoint(eager=False)
         )
     return pr.select("node", "pr")

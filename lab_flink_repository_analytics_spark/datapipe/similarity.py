@@ -433,8 +433,20 @@ def semdedup(
     SemDeDup recipe).  The drop rule needs no transitive closure, so no
     iteration — one join + one semi-join-shaped aggregation.
     """
-    asg = ivf_assignments(vectors, centroids, 1, id_col, vec_col).select(
-        "id", "v", F.col("cid").alias("cluster_id")
+    from lab_flink_repository_analytics_spark.session import (
+        persist_bounded,
+        rebalance,
+    )
+
+    # assignments feed three consumers (both sides of the cluster join +
+    # the final keep join) — persist so the quantizer pass runs once, and
+    # rebalance so a narrow local scan spreads before the per-vector
+    # centroid scoring (no-op on a many-split cluster scan)
+    asg = persist_bounded(
+        ivf_assignments(rebalance(vectors), centroids, 1, id_col, vec_col).select(
+            "id", "v", F.col("cid").alias("cluster_id")
+        ),
+        "similarity.semdedup.asg",
     )
     a = asg.select(
         F.col("id").alias("id_lo"), F.col("v").alias("v_lo"), "cluster_id"
@@ -581,6 +593,13 @@ def covariance_matrix(
     same scan.  This is the X^T X building block of distributed PCA
     (:func:`pca_project`).
     """
+    from lab_flink_repository_analytics_spark.session import rebalance
+
+    # the dim² expansion is the data-amplifying map stage — spread a
+    # narrow local scan across the executors first (no-op on a
+    # many-split cluster scan); both moment passes reuse the rebalanced
+    # frame
+    vectors = rebalance(vectors.select(F.col(vec_col).alias(vec_col)))
     v = F.col("v")
     a = vectors.select(F.col(vec_col).alias("v")).select(
         F.posexplode(v).alias("i0", "xi"), v.alias("v2")
