@@ -244,6 +244,71 @@ def test_streaming_session_windows_merge_and_finalize(spark, tmp_path):
     assert "[DISCUSS] thing" not in got  # merged session has 2 msgs → filtered
 
 
+def test_streaming_session_multi_batch_watermark_finalization_order(spark, tmp_path):
+    """Multi-batch watermark advance (ref README.md:227-236 semantics):
+    sessions finalize in event-time order as the watermark passes each
+    session's end across RESTARTED runs sharing one checkpoint, and a
+    message arriving in a later batch within the gap MERGES into the
+    open session from state instead of opening a new one."""
+    src = str(tmp_path / "mails")
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "subject string, date timestamp"
+
+    def run():
+        emails = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withWatermark("date", "1 day")
+        )
+        sess = jobs.session_threads_stream(emails, gap="2 days")
+        q = (
+            sess.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda b, _: None
+                if b.isEmpty()
+                else b.write.mode("append").parquet(out)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def emitted():
+        try:
+            return {r["thread"]: r["cnt"] for r in spark.read.parquet(out).collect()}
+        except Exception:
+            return {}
+
+    # run 1: X's session [Jan 1, Jan 3) closes under wm Jan 4; Y's
+    # [Jan 5, Jan 7) is still open
+    spark.createDataFrame(
+        [("[X] one", datetime(2021, 1, 1)), ("[Y] two", datetime(2021, 1, 5))],
+        schema,
+    ).write.mode("append").parquet(src)
+    run()
+    assert emitted() == {"[X] one": 1}
+
+    # run 2: a second Y message INSIDE the gap merges with the open
+    # session from checkpointed state (cnt -> 2, filtered by HAVING);
+    # Z opens and stays open under wm Jan 19
+    spark.createDataFrame(
+        [("Re: [Y] two", datetime(2021, 1, 6)), ("[Z] three", datetime(2021, 1, 20))],
+        schema,
+    ).write.mode("append").parquet(src)
+    run()
+    assert emitted() == {"[X] one": 1}  # Y merged->filtered, Z still open
+
+    # run 3: a far-future row advances the watermark past Z's end — Z
+    # finalizes LAST, in event-time order
+    spark.createDataFrame(
+        [("closer", datetime(2021, 3, 1))], schema
+    ).write.mode("append").parquet(src)
+    run()
+    assert emitted() == {"[X] one": 1, "[Z] three": 1}
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     # watermarked stream-stream join: clicks within 10 min before an error
     # pair up; clicks outside the window don't; state is watermark-bounded

