@@ -91,9 +91,26 @@ def main():
     args = [a for a in sys.argv[1:]]
     driver_mirror = "--driver-mirror" in args
     args = [a for a in args if a != "--driver-mirror"]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
     normalize = _driver_normalize if driver_mirror else _normalize
     sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     only = set(args)
+    report: dict[str, dict] = {}
+
+    def record(name, *, rows=False, schema=False, hash_=False, s_rows=None,
+               o_rows=None, err=None):
+        report[name] = {
+            "rows_match": rows,
+            "schema_match": schema,
+            "hash_match": hash_,
+            "spark_rows": s_rows,
+            "oracle_rows": o_rows,
+            "err": err,
+        }
     if driver_mirror:
         print("mode: driver-mirror (pandas sort_values canonicalization)")
 
@@ -121,15 +138,18 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            record(name, err=f"spark: {e}")
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(spark_pd)} rows (no oracle — rows-only check)")
+            record(name, rows=True, s_rows=len(spark_pd), err="rows-only (no oracle)")
             continue
         try:
             duck_pd = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
             failures.append(name)
+            record(name, err=f"oracle: {e}")
             continue
         try:
             scols, srows = normalize(spark_pd)
@@ -137,26 +157,45 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: canonicalization error (driver would err): {e}")
             failures.append(name)
+            record(name, err=f"canon: {e}")
             continue
         dt = time.time() - t0
+        nr = (len(srows), len(drows))
         if scols != dcols:
             print(f"FAIL  {name}: schema {scols} vs {dcols}")
             failures.append(name)
+            record(name, rows=nr[0] == nr[1], s_rows=nr[0], o_rows=nr[1],
+                   err="schema mismatch")
             continue
         if len(srows) != len(drows):
             print(f"FAIL  {name}: rowcount {len(srows)} vs {len(drows)}")
             failures.append(name)
+            record(name, schema=True, s_rows=nr[0], o_rows=nr[1],
+                   err="rowcount mismatch")
             _show_diff(srows, drows)
             continue
         if srows == drows:
             print(f"OK    {name}: {len(srows)} rows exact  ({dt:.1f}s)")
+            record(name, rows=True, schema=True, hash_=True,
+                   s_rows=nr[0], o_rows=nr[1])
             continue
         if all(_approx_equal(a, b) for a, b in zip(srows, drows)):
             print(f"OK~   {name}: {len(srows)} rows approx-only (float ulp) ({dt:.1f}s)")
+            record(name, rows=True, schema=True, s_rows=nr[0], o_rows=nr[1],
+                   err="approx-only (float ulp)")
             continue
         print(f"FAIL  {name}: value mismatch ({len(srows)} rows)")
         failures.append(name)
+        record(name, rows=True, schema=True, s_rows=nr[0], o_rows=nr[1],
+               err="value mismatch")
         _show_diff(srows, drows)
+
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump(report, f, indent=2)
+        print(f"wrote {json_out}")
 
     print()
     if failures:
