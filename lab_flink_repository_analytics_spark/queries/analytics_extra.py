@@ -626,10 +626,10 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("deg")),
         "triangles.deg",
     )
-    deg.count()  # one job materializes BOTH caches (edges, then deg)
-    # edge count off the cached degree table (Σ deg = 2m) — no second
-    # full pass over the edge cache just to count it
-    ne = int(deg.agg(F.sum("deg")).first()[0]) // 2
+    # ONE job materializes both caches (edges, then deg) and returns the
+    # edge count off the degree table (Σ deg = 2m) — no separate count
+    # pass over either cache
+    ne = int(deg.agg(F.sum("deg")).first()[0] or 0) // 2
     # wedges: sum over nodes of C(deg, 2) — straight off the degree table
     wedges = deg.agg(
         F.sum(F.expr("CAST(deg * (deg - 1) / 2 AS BIGINT)")).alias("n_wedges")
