@@ -95,7 +95,11 @@ def get_spark(
         # local mode: one JVM; driver memory is the only memory knob and
         # Spark's 1g default starves broadcast builds + cached graph state
         # on a many-core local run — default higher, env-overridable.
-        mem = os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+        # 16g (up from round 3's 8g): the x8 concurrent bench holds several
+        # queries' slot-persisted intermediates at once, and storage
+        # eviction under 8g was implicated in the round-3 graph-query
+        # regressions; the host has 128 GiB.
+        mem = os.environ.get("SPARK_DRIVER_MEMORY", "16g")
         builder = builder.config("spark.driver.memory", mem)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

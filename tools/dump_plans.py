@@ -44,12 +44,12 @@ SHOW = [
     ("tfidf_top_terms", "df re-aggregates the tf table (terms ≪ tokens); top-3 via WindowGroupLimit"),
     ("user_value_streaks", "lag + running-sum windows and both rollups ride ONE user_id exchange"),
     ("customer_skyline", "sort-scan skyline: window over distinct acctbals, broadcast back (no n² join)"),
-    ("copurchase_triangles", "two-hop equi-join closed by semi join; wedges from degrees, not enumeration"),
+    ("copurchase_triangles", "edge-iterator path at this scale: broadcast in-neighbor arrays + codegen array_intersect over the checkpointed oriented list; wedges from degrees, not enumeration"),
     ("q8_market_share", "widest star: part/supplier/customer/nation×2/region broadcast; one-pass ratio"),
     ("fuzzy_name_pairs", "block-then-verify: deletion-neighborhood masked keys, codegen levenshtein residual"),
     ("inverted_index", "explode → one term aggregation; sorted-set postings, order-insensitive"),
     ("per_group_sample", "md5-ranked k-per-stratum; WindowGroupLimit prunes to k below the exchange"),
-    ("copurchase_pagerank", "iterative rank rounds: shuffle-hash joins on node id, rank table never broadcast"),
+    ("copurchase_pagerank", "deg folded into the checkpointed edge table; per-round shuffle-hash joins on node id, rank table never broadcast, lineage cut per round"),
     ("customer_revenue_quartiles", "distributed exact NTILE: range shuffle + partition-offset ranks, NO SinglePartition window"),
     ("bm25_top_terms", "BM25: df/dl/avgdl all re-aggregate the one corpus-shuffled tf table"),
     ("random_projection_sketch", "SRP signature: literal-matrix zip_with/aggregate fold, zero pre-rollup exchanges"),
