@@ -2115,6 +2115,260 @@ JOIN sizes sb ON sb.source = shared.source_b
 SOURCE_OVERLAP_SQL = _source_overlap_sql()
 
 
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by source (tokens-per-word under the trained BPE model)
+
+
+def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility (subword tokens per whitespace word)
+    under the corpus-trained ``BPE_N_MERGES``-merge model — the signal that
+    tells a mixing pipeline which sources get token-inflated by the
+    tokenizer (code, non-Latin scripts) before the budget is allocated.
+
+    Scale shape: segmentation cost is vocabulary-sized (per DISTINCT word,
+    Heaps' law); the corpus-scale side is one token explode joined to the
+    word table (AQE broadcasts it) and one per-source rollup."""
+    from lab_flink_repository_analytics_spark.datapipe import bpe as BPE
+    from lab_flink_repository_analytics_spark.session import rebalance
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    _, merged = BPE.train_state(docs, BPE_N_MERGES)
+    per_word = merged.select(
+        "w",
+        F.size(
+            F.split(F.expr("substring(rep, 2, length(rep) - 2)"), BPE.SEP + BPE.SEP)
+        ).alias("n_sub"),
+    )
+    return (
+        rebalance(docs)
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .join(per_word, "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.round(
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_words").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+def _bpe_fertility_sql() -> str:
+    # reuse the unrolled BPE training CTEs (identical model), segment the
+    # word table, then roll occurrence-weighted counts per SOURCE
+    train = _bpe_merges_sql()
+    body = train[: train.rindex("\nSELECT CAST(1")]
+    return (
+        body
+        + f""",
+seg AS (
+  SELECT w,
+         len(string_split(substr(rep, 2, length(rep) - 2), chr(31) || chr(31))) AS n_sub
+  FROM r{BPE_N_MERGES}
+),
+docw AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(sum(n_sub) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS fertility
+FROM docw JOIN seg USING (w) GROUP BY 1
+"""
+    )
+
+
+BPE_FERTILITY_SQL = _bpe_fertility_sql()
+
+
+# ---------------------------------------------------------------------------
+# Cross-source near-duplicate matrix (who duplicates whom, at the DOC level)
+
+
+def near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate-pair counts rolled up by (source, source) —
+    the document-level complement of ``source_gram_overlap``'s gram-set
+    view: which source pairs actually produce near-duplicate documents.
+
+    Scale shape: reuses the banded LSH candidate join (never all-pairs);
+    the source lookup is two doc-keyed equi-joins; output is
+    #source²-bounded."""
+    from lab_flink_repository_analytics_spark.datapipe import dedup as DD
+
+    t = load_tables(spark, sf_dir)
+    pairs = DD.near_dup_candidates(t["documents"])
+    src = t["documents"].select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+NEAR_DUP_SOURCE_MATRIX_SQL = """
+WITH nd AS ({nd}),
+src AS (SELECT doc_id, source FROM documents)
+SELECT least(a.source, b.source) AS source_a,
+       greatest(a.source, b.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM nd JOIN src a ON nd.id_a = a.doc_id
+        JOIN src b ON nd.id_b = b.doc_id
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token-budget allocation (largest-remainder rounding of mixture weights)
+
+MIX_TOKEN_BUDGET = 1_000_000
+
+
+def mixture_token_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer token quotas per source for a fixed training budget, from
+    the same sqrt-temperature weights as ``source_mixture_weights``,
+    rounded with the largest-remainder (Hamilton) method so the quotas sum
+    EXACTLY to the budget — the step that turns mixture weights into an
+    executable sampling plan.
+
+    Determinism: weights are IEEE-identical doubles in both engines (sqrt,
+    one divide), floors are exact, and the leftover seats go to the
+    largest fractional remainders with ties broken by source name — so the
+    integer output hash-matches the oracle.  #sources is bounded by
+    contract, so the global rank window is a constant-size reduction."""
+    from lab_flink_repository_analytics_spark.session import rebalance
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    per = (
+        rebalance(docs)
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("bigint")
+            .alias("n_tokens")
+        )
+    )
+    tot = per.agg(
+        F.sum(F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(28,12)")).alias(
+            "tot_sqrt"
+        )
+    )
+    raw = (
+        F.lit(float(MIX_TOKEN_BUDGET))
+        * (
+            F.sqrt(F.col("n_tokens").cast("double"))
+            / F.col("tot_sqrt").cast("double")
+        )
+    )
+    scored = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.floor(raw).cast("bigint").alias("base"),
+        (raw - F.floor(raw)).alias("rem"),
+    )
+    leftover = scored.agg(
+        (F.lit(MIX_TOKEN_BUDGET) - F.sum("base")).cast("bigint").alias("r")
+    )
+    w = Window.orderBy(F.col("rem").desc(), F.col("source"))
+    return (
+        scored.crossJoin(F.broadcast(leftover))
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "source",
+            "n_tokens",
+            (F.col("base") + F.when(F.col("rk") <= F.col("r"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("token_quota"),
+        )
+    )
+
+
+MIXTURE_TOKEN_QUOTAS_SQL = f"""
+WITH per AS (
+  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT sum(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,12))) AS tot_sqrt
+  FROM per
+),
+scored AS (
+  SELECT source, n_tokens,
+         CAST(floor({float(MIX_TOKEN_BUDGET)} * (sqrt(CAST(n_tokens AS DOUBLE))
+              / CAST(tot_sqrt AS DOUBLE))) AS BIGINT) AS base,
+         {float(MIX_TOKEN_BUDGET)} * (sqrt(CAST(n_tokens AS DOUBLE))
+              / CAST(tot_sqrt AS DOUBLE))
+           - floor({float(MIX_TOKEN_BUDGET)} * (sqrt(CAST(n_tokens AS DOUBLE))
+              / CAST(tot_sqrt AS DOUBLE))) AS rem
+  FROM per CROSS JOIN tot
+),
+lo AS (SELECT {MIX_TOKEN_BUDGET} - sum(base) AS r FROM scored),
+rk AS (
+  SELECT source, n_tokens, base, rem,
+         row_number() OVER (ORDER BY rem DESC, source) AS rk
+  FROM scored
+)
+SELECT source, n_tokens,
+       CAST(base + CASE WHEN rk <= (SELECT r FROM lo) THEN 1 ELSE 0 END AS BIGINT)
+         AS token_quota
+FROM rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# Length-bucket histogram (packing/batching planner input)
+
+
+def length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents histogrammed into power-of-two token-length buckets
+    (bucket = smallest 2^k ≥ n_tokens) — the length distribution a packing
+    or batch-shape planner reads before choosing sequence capacities.
+    One row-local bucket expression + one bounded aggregation.
+
+    The 1e-9 epsilon keeps exact powers of two in their own bucket even if
+    an engine's log2 lands one ulp above the integer."""
+    from lab_flink_repository_analytics_spark.session import rebalance
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    n = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    bucket = F.when(n <= 1, F.lit(1)).otherwise(
+        F.pow(F.lit(2.0), F.ceil(F.log2(n.cast("double")) - F.lit(1e-9)))
+    ).cast("bigint")
+    return (
+        rebalance(docs)
+        .select(bucket.alias("bucket"), n.alias("n_tokens"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+LENGTH_BUCKET_SQL = """
+WITH d AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents
+)
+SELECT CASE WHEN n <= 1 THEN 1
+            ELSE CAST(power(2, ceil(log2(CAST(n AS DOUBLE)) - 1e-9)) AS BIGINT)
+       END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens
+FROM d GROUP BY 1
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_top_terms": bm25_top_terms,
@@ -2150,6 +2404,10 @@ QUERIES = {
     "event_value_drift": event_value_drift,
     "source_token_entropy": source_token_entropy,
     "source_gram_overlap": source_gram_overlap,
+    "bpe_fertility_by_source": bpe_fertility_by_source,
+    "near_dup_source_matrix": near_dup_source_matrix,
+    "mixture_token_quotas": mixture_token_quotas,
+    "length_bucket_stats": length_bucket_stats,
 }
 
 ORACLES = {
@@ -2187,4 +2445,9 @@ ORACLES = {
     "event_value_drift": EVENT_DRIFT_SQL,
     "source_token_entropy": SOURCE_ENTROPY_SQL,
     "source_gram_overlap": SOURCE_OVERLAP_SQL,
+    "bpe_fertility_by_source": BPE_FERTILITY_SQL,
+    # near_dup_source_matrix is registered in suite.py, where the
+    # NEAR_DUP_SQL candidate-pair CTE it reuses is defined
+    "mixture_token_quotas": MIXTURE_TOKEN_QUOTAS_SQL,
+    "length_bucket_stats": LENGTH_BUCKET_SQL,
 }

@@ -3109,4 +3109,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_dedup_eval": _lsh_dedup_eval_sql(),
         **TPCH.ORACLES,
         **AX.ORACLES,
+        # reuses this module's NEAR_DUP_SQL candidate-pair CTE
+        "near_dup_source_matrix": AX.NEAR_DUP_SOURCE_MATRIX_SQL.format(
+            nd=NEAR_DUP_SQL.strip()
+        ),
     }

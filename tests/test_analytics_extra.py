@@ -167,3 +167,37 @@ def test_triangles_both_physical_paths_agree(spark, sf_dir, monkeypatch):
     big = AX.copurchase_triangles(spark, sf_dir).collect()[0]
     assert small.asDict() == big.asDict()
     assert small["n_triangles"] > 0
+
+
+def test_mixture_token_quotas_sum_exactly_to_budget(spark, sf_dir):
+    rows = AX.mixture_token_quotas(spark, sf_dir).collect()
+    assert sum(r["token_quota"] for r in rows) == AX.MIX_TOKEN_BUDGET
+    assert all(r["token_quota"] >= 0 for r in rows)
+    # more tokens never means a smaller base allocation than a source
+    # with under half the tokens (sqrt temperature is monotone)
+    by_tokens = sorted(rows, key=lambda r: r["n_tokens"])
+    assert by_tokens[-1]["token_quota"] >= by_tokens[0]["token_quota"]
+
+
+def test_length_bucket_stats_partitions_corpus(spark, sf_dir):
+    from lab_flink_repository_analytics_spark.session import load_tables
+
+    rows = AX.length_bucket_stats(spark, sf_dir).collect()
+    assert all(r["bucket"] & (r["bucket"] - 1) == 0 for r in rows)  # powers of 2
+    n_docs = load_tables(spark, sf_dir)["documents"].count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+
+
+def test_bpe_fertility_at_least_one_token_per_word(spark, sf_dir):
+    rows = AX.bpe_fertility_by_source(spark, sf_dir).collect()
+    assert rows and all(r["fertility"] >= 1.0 for r in rows)
+    assert all(r["n_bpe_tokens"] >= r["n_words"] for r in rows)
+
+
+def test_near_dup_source_matrix_conserves_pairs(spark, sf_dir):
+    from lab_flink_repository_analytics_spark.queries import suite
+
+    total_pairs = suite.queries()["near_dup_pairs"](spark, sf_dir).count()
+    rows = AX.near_dup_source_matrix(spark, sf_dir).collect()
+    assert sum(r["n_pairs"] for r in rows) == total_pairs
+    assert all(r["source_a"] <= r["source_b"] for r in rows)

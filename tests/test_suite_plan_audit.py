@@ -40,6 +40,7 @@ BNLJ_OK = {
     "bigram_lm_scores",  # broadcast scalar vocab size V
     "source_mixture_weights",  # broadcast one-row (tot_tokens, tot_sqrt) normalizer
     "ann_recall_eval",  # broadcast query set on BOTH sides (as ann_cosine_topk/ann_lsh_topk)
+    "mixture_token_quotas",  # broadcast one-row normalizer + one-row leftover count
 }
 
 #: queries allowed an Exchange SinglePartition — every one is a
@@ -61,6 +62,9 @@ SINGLE_PARTITION_OK = {
     "bigram_lm_scores",  # scalar vocab-size reduction (partial-agg first)
     "source_mixture_weights",  # scalar normalizer over #sources pre-aggregated rows
     "lsh_dedup_eval",  # one-row precision/recall counters (partial-agg first)
+    "mixture_token_quotas",  # global remainder-rank window over #sources rows (bounded by contract)
+    "bpe_fertility_by_source",  # BPE argmax reduction (as bpe_merges/bpe_token_counts)
+    "length_bucket_stats",  # log2-bounded bucket count (≤ ~30 groups)
 }
 
 
