@@ -480,3 +480,66 @@ def test_semdedup_keep_rule_invariant(spark):
         mates = [j for j, (cj, _) in got.items() if cj == ci and j < i]
         expect_drop = any(round(cos(by_id[i], by_id[j]), 6) >= 0.8 for j in mates)
         assert keep == (not expect_drop), (i, keep, expect_drop)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 600), st.sampled_from(["en", "fr"])),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_ffd_duckdb_fold_matches_python_first_fit(items):
+    """The FFD_PACKING_SQL list_reduce fold must replay the exact greedy
+    first-fit of datapipe/packing.py on ANY input — ties, capacity-exact
+    fits, zero-length and oversize docs included.  Pure Python vs DuckDB
+    (no Spark round-trip), capacity 256 like the suite query."""
+    import duckdb
+
+    cap = 256
+    rows = [(i + 1, shard, size) for i, (size, shard) in enumerate(items)]
+
+    # reference: the same algorithm first_fit_pack's pandas fold runs
+    def py_bins(sizes_ids):
+        remaining = []
+        for size, _id in sorted(sizes_ids, key=lambda t: (-t[0], t[1])):
+            if size > cap:
+                remaining.append(0)
+                continue
+            for k, room in enumerate(remaining):
+                if room >= size:
+                    remaining[k] = room - size
+                    break
+            else:
+                remaining.append(cap - size)
+        return len(remaining)
+
+    expect = {}
+    for _id, shard, size in rows:
+        expect.setdefault(shard, []).append((size, _id))
+    expect = {s: py_bins(v) for s, v in expect.items()}
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE d (doc_id BIGINT, shard VARCHAR, n_tokens BIGINT)")
+    con.executemany("INSERT INTO d VALUES (?, ?, ?)", rows)
+    sql = f"""
+    SELECT shard,
+           CAST(len(list_reduce(
+             list_prepend(CAST([] AS BIGINT[]),
+               list_transform(list(n_tokens ORDER BY n_tokens DESC, doc_id ASC),
+                              s -> [s])),
+             (acc, x) -> CASE
+               WHEN x[1] > {cap} THEN list_append(acc, CAST(0 AS BIGINT))
+               WHEN coalesce(list_position(
+                      list_transform(acc, r -> r >= x[1]), true), 0) = 0
+                 THEN list_append(acc, CAST({cap} - x[1] AS BIGINT))
+               ELSE list_transform(acc, (r, i) ->
+                      CASE WHEN i = list_position(
+                             list_transform(acc, rr -> rr >= x[1]), true)
+                           THEN CAST(r - x[1] AS BIGINT) ELSE r END)
+             END)) AS BIGINT) AS n_bins
+    FROM d GROUP BY shard
+    """
+    got = {r[0]: r[1] for r in con.sql(sql).fetchall()}
+    assert got == expect
