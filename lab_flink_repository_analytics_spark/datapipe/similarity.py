@@ -47,10 +47,14 @@ def brute_force_topk(
     of ``candidates`` is a single pass with no shuffle of the big side;
     ranking shuffles only (query × k-ish) rows.  Self-matches excluded.
     """
+    from lab_flink_repository_analytics_spark.session import rebalance
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = candidates.select(
+    # the broadcast join keeps the probe side's partitioning, so a narrow
+    # local candidate scan must spread BEFORE the per-row scoring pass
+    c = rebalance(candidates).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     scored = (
@@ -489,12 +493,14 @@ def hard_negatives(
     never scored.  At scale, swap the candidate scan for the IVF/LSH
     bucketed variants exactly as with ANN.
     """
+    from lab_flink_repository_analytics_spark.session import rebalance
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.col(label_col).alias("qlabel"),
     )
-    c = candidates.select(
+    c = rebalance(candidates).select(
         F.col(id_col).alias("neg_id"),
         F.col(vec_col).alias("cv"),
         F.col(label_col).alias("nlabel"),

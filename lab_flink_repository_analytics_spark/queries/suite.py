@@ -781,9 +781,11 @@ FROM documents GROUP BY 1
 
 def word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explode/UNNEST surface at corpus scale: token frequencies."""
+    from lab_flink_repository_analytics_spark.session import rebalance
+
     t = load_tables(spark, sf_dir)
     return (
-        t["documents"]
+        rebalance(t["documents"])
         .select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -2553,8 +2555,18 @@ def word_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-state answer to "how often does each token appear in 100 TB"."""
     from lab_flink_repository_analytics_spark.datapipe import sketches as SK
 
+    from lab_flink_repository_analytics_spark.session import (
+        persist_bounded,
+        rebalance,
+    )
+
     docs = load_tables(spark, sf_dir)["documents"]
-    words = docs.select(F.explode(F.split("text", " ")).alias("item"))
+    # consumed three times (sketch build, distinct probe set, exact
+    # counts) — persist so the corpus explode runs once, spread first
+    words = persist_bounded(
+        rebalance(docs).select(F.explode(F.split("text", " ")).alias("item")),
+        "suite.cms.words",
+    )
     sketch = SK.cms_build(words)
     est = SK.cms_estimate(sketch, words.distinct())
     true_counts = words.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
