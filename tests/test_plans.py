@@ -212,3 +212,39 @@ def test_partition_pruning_on_month_partitioned_layout(spark, tmp_path):
     # only one of the three month directories survives planning
     assert q.rdd.getNumPartitions() <= 2
     assert [r["v"] for r in q.collect()] == [3]
+
+
+def test_triangles_scale_path_shuffles_closing_join(spark, sf_dir, monkeypatch):
+    """Above the edge bound the triangle count must NOT broadcast the
+    closing edge set (at 100 TB it is data-scale): the semi join stays a
+    shuffled keyed join and nothing degenerates to a cartesian product."""
+    from lab_flink_repository_analytics_spark.queries import analytics_extra as AX
+
+    monkeypatch.setattr(AX, "TRIANGLES_ARRAY_PATH_MAX_EDGES", 0)
+    plan = _plan(AX.copurchase_triangles(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    # the only BroadcastHashJoins allowed are the degree-table orientation
+    # joins and none may build the closing LeftSemi side
+    assert "BroadcastHashJoin" not in plan.split("LeftSemi")[0].splitlines()[-1]
+
+
+def test_bigram_hybrid_has_broadcast_head_and_shuffled_tail(spark, sf_dir):
+    """The skew-hardened scoring join: model head broadcast map-side, tail
+    through a shuffled (w1, w2)-keyed join — both shapes in ONE plan."""
+    from lab_flink_repository_analytics_spark.datapipe import text as TX
+    from lab_flink_repository_analytics_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    plan = _plan(TX.bigram_logprob_scores_df(docs, head_k=1))
+    # head: the limited model head is an explicit broadcast build side
+    assert "BroadcastHashJoin [w1" in plan
+    # tail: a KEYED (w1, w2) equi-join — Catalyst may broadcast it at this
+    # tiny scale and shuffle it at 100×; what must never appear is a
+    # nested-loop/cartesian pairing of doc bigrams with the model
+    tail_joins = [
+        ln for ln in plan.splitlines()
+        if "Join [w1" in ln and "LeftOuter" in ln
+    ]
+    assert tail_joins, plan
+    assert "CartesianProduct" not in plan
