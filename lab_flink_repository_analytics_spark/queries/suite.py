@@ -1375,12 +1375,15 @@ def leakage_safe_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components + datapipe/sampling.py deterministic_split;
     whole clusters move between splits atomically by construction.
 
-    Output: (split, n_docs, n_clusters)."""
-    from lab_flink_repository_analytics_spark.datapipe import pipeline
+    Output: (split, n_docs, n_clusters).  The cluster labels are shared
+    with dedup_clusters via the session memo, and the counts read the
+    labeled table directly (one row per doc by construction — no join
+    back onto documents is needed for counting)."""
+    from lab_flink_repository_analytics_spark.datapipe import sampling
 
-    docs = load_tables(spark, sf_dir)["documents"]
+    labels = _dedup_cluster_labels(spark, sf_dir)
     return (
-        pipeline.leakage_safe_split(docs)
+        sampling.deterministic_split(labels, "cluster_id")
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -1864,27 +1867,57 @@ FROM events GROUP BY event_type
 """
 
 
+#: duplicate-cluster label memo: (applicationId, sf_dir) → checkpointed
+#: (doc_id, cluster_id) labels.  The iterative CC run (one join+agg+
+#: checkpoint+checksum per round) feeds BOTH dedup_clusters and the
+#: leakage-safe split; under a concurrent pool each would otherwise run
+#: its own copy of the identical deterministic computation.
+_CC_LABELS_MEMO: dict = {}
+_CC_LABELS_LOCK = None
+
+
+def _dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import threading as _threading
+
+    global _CC_LABELS_LOCK
+    if _CC_LABELS_LOCK is None:
+        _CC_LABELS_LOCK = _threading.Lock()
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    with _CC_LABELS_LOCK:
+        hit = _CC_LABELS_MEMO.get(key)
+        if hit is not None:
+            return hit
+        from lab_flink_repository_analytics_spark.datapipe import graph
+
+        docs = load_tables(spark, sf_dir)["documents"]
+        pairs = DD.near_dup_candidates(docs).select("id_a", "id_b")
+        labels = graph.connected_components(
+            pairs,
+            src="id_a",
+            dst="id_b",
+            nodes=docs.select("doc_id"),
+            node_col="doc_id",
+        ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+        # the CC loop already materialized per-round checkpoints; one more
+        # eager cut pins the final labels independent of persist slots
+        labels = labels.localCheckpoint(eager=True)
+        if len(_CC_LABELS_MEMO) > 4:
+            _CC_LABELS_MEMO.clear()
+        _CC_LABELS_MEMO[key] = labels
+        return labels
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS, not just pairs: connected components over the
     MinHash-LSH candidate graph (datapipe/graph.py — iterative min-label
     propagation, one join+agg per round, lineage cut per round), every
     document labeled with the min doc_id of its component (singletons
     label themselves).  Oracle: DuckDB recursive CTE computing the same
-    transitive closure."""
-    from lab_flink_repository_analytics_spark.datapipe import graph
-
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"]
-    pairs = DD.near_dup_candidates(docs).select("id_a", "id_b")
-    labels = graph.connected_components(
-        pairs,
-        src="id_a",
-        dst="id_b",
-        nodes=docs.select("doc_id"),
-        node_col="doc_id",
-    )
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    transitive closure.  Labels shared with the leakage-safe split via
+    the session memo."""
+    return _dedup_cluster_labels(spark, sf_dir).select(
+        "doc_id", "cluster_id"
     )
 
 
