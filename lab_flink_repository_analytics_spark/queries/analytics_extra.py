@@ -1698,39 +1698,23 @@ DUP_SPAN_SQL = _dup_span_sql()
 
 BPE_N_MERGES = 3
 
-#: trained-model memo: (applicationId, sf_dir) → (merge list, checkpointed
-#: word table).  Three suite queries (merges, token counts, fertility)
-#: consume the SAME deterministic model over the same read-only tables —
-#: without the memo each re-runs the full merge loop with its per-merge
-#: driver argmax barriers.  The word table is vocabulary-sized (Heaps'
-#: law) and pinned by localCheckpoint, independent of persist slots.
-_BPE_STATE_MEMO: dict[tuple[str, str], tuple] = {}
-#: serializes training: under a concurrent query pool the three BPE
-#: queries land together, and without the lock each would race past the
-#: empty memo and train its own copy of the identical model
-_BPE_STATE_LOCK = None
-
-
 def _trained_bpe(spark: SparkSession, sf_dir: str, docs: DataFrame) -> tuple:
-    import os as _os
-    import threading as _threading
+    """Session-shared trained model (merge list + checkpointed word
+    table): three suite queries (merges, token counts, fertility) consume
+    the SAME deterministic model over the same read-only tables — via
+    session.derived_state each re-run of the merge loop (with its
+    per-merge driver argmax barriers) is replaced by one build.  The word
+    table is vocabulary-sized (Heaps' law) and pinned by localCheckpoint,
+    independent of persist slots."""
+    from lab_flink_repository_analytics_spark.session import derived_state
 
-    global _BPE_STATE_LOCK
-    if _BPE_STATE_LOCK is None:
-        _BPE_STATE_LOCK = _threading.Lock()
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
-    with _BPE_STATE_LOCK:
-        hit = _BPE_STATE_MEMO.get(key)
-        if hit is not None:
-            return hit
+    def build():
         from lab_flink_repository_analytics_spark.datapipe import bpe as BPE
 
         merges, cur = BPE.train_state(docs, BPE_N_MERGES)
-        cur = cur.localCheckpoint(eager=True)
-        if len(_BPE_STATE_MEMO) > 4:
-            _BPE_STATE_MEMO.clear()
-        _BPE_STATE_MEMO[key] = (merges, cur)
-        return merges, cur
+        return merges, cur.localCheckpoint(eager=True)
+
+    return derived_state(spark, "bpe_model", sf_dir, build)
 
 
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:

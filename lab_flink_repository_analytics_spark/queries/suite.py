@@ -1867,27 +1867,15 @@ FROM events GROUP BY event_type
 """
 
 
-#: duplicate-cluster label memo: (applicationId, sf_dir) → checkpointed
-#: (doc_id, cluster_id) labels.  The iterative CC run (one join+agg+
-#: checkpoint+checksum per round) feeds BOTH dedup_clusters and the
-#: leakage-safe split; under a concurrent pool each would otherwise run
-#: its own copy of the identical deterministic computation.
-_CC_LABELS_MEMO: dict = {}
-_CC_LABELS_LOCK = None
-
-
 def _dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os as _os
-    import threading as _threading
+    """Session-shared duplicate-cluster labels (doc_id, cluster_id): the
+    iterative CC run (one join+agg+checkpoint+checksum per round) feeds
+    BOTH dedup_clusters and the leakage-safe split; session.derived_state
+    replaces the concurrent-pool duplicate runs with one build, pinned by
+    an eager localCheckpoint independent of persist slots."""
+    from lab_flink_repository_analytics_spark.session import derived_state
 
-    global _CC_LABELS_LOCK
-    if _CC_LABELS_LOCK is None:
-        _CC_LABELS_LOCK = _threading.Lock()
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
-    with _CC_LABELS_LOCK:
-        hit = _CC_LABELS_MEMO.get(key)
-        if hit is not None:
-            return hit
+    def build():
         from lab_flink_repository_analytics_spark.datapipe import graph
 
         docs = load_tables(spark, sf_dir)["documents"]
@@ -1898,14 +1886,12 @@ def _dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             dst="id_b",
             nodes=docs.select("doc_id"),
             node_col="doc_id",
-        ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
-        # the CC loop already materialized per-round checkpoints; one more
-        # eager cut pins the final labels independent of persist slots
-        labels = labels.localCheckpoint(eager=True)
-        if len(_CC_LABELS_MEMO) > 4:
-            _CC_LABELS_MEMO.clear()
-        _CC_LABELS_MEMO[key] = labels
-        return labels
+        ).select(
+            F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+        )
+        return labels.localCheckpoint(eager=True)
+
+    return derived_state(spark, "dedup_cluster_labels", sf_dir, build)
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

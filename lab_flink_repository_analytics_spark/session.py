@@ -137,6 +137,48 @@ def persist_bounded(df, slot: str, storage_level=None):
     return df
 
 
+#: session-scoped derived-state memo (see derived_state)
+_DERIVED_MEMO: dict[tuple[str, str, str], "object"] = {}
+_DERIVED_KEY_LOCKS: dict[tuple[str, str, str], "object"] = {}
+_DERIVED_GUARD = None
+
+
+def derived_state(spark: SparkSession, name: str, sf_dir: str, build):
+    """Memoize deterministic derived state shared across suite queries —
+    a trained BPE model, duplicate-cluster labels, the loaded-table dict.
+
+    Keyed by (applicationId, name, absolute sf_dir); ``build()`` runs at
+    most once per key even under a concurrent query pool.  Locks are
+    PER-KEY so an expensive build (BPE training) never blocks unrelated
+    keys' lookups, and re-entrant builds (cluster labels → load_tables)
+    take distinct keys' locks rather than deadlocking.  Only cache state
+    that is a pure function of the read-only input tables; any cached
+    DataFrame must be pinned independent of persist slots (eager
+    localCheckpoint).  Bounded: cleared at 32 entries.
+    """
+    import threading
+
+    global _DERIVED_GUARD
+    if _DERIVED_GUARD is None:
+        _DERIVED_GUARD = threading.Lock()
+    key = (spark.sparkContext.applicationId, name, os.path.abspath(sf_dir))
+    with _DERIVED_GUARD:
+        if key in _DERIVED_MEMO:
+            return _DERIVED_MEMO[key]
+        lock = _DERIVED_KEY_LOCKS.setdefault(key, threading.RLock())
+    with lock:
+        with _DERIVED_GUARD:
+            if key in _DERIVED_MEMO:
+                return _DERIVED_MEMO[key]
+        out = build()
+        with _DERIVED_GUARD:
+            if len(_DERIVED_MEMO) > 32:
+                _DERIVED_MEMO.clear()
+                _DERIVED_KEY_LOCKS.clear()
+            _DERIVED_MEMO[key] = out
+        return out
+
+
 def release_persist_slots() -> None:
     """Drop every slot-cached intermediate (teardown / between bench runs)."""
     for df in _PERSIST_SLOTS.values():
@@ -199,30 +241,30 @@ def rebalance(df, factor: int = 1, expected_splits: int | None = None):
     return df if df.rdd.getNumPartitions() >= target else df.repartition(target)
 
 
-#: load_tables memo: (spark applicationId, sf_dir) → table dict.  The
-#: returned DataFrames are immutable lazy plans over read-only driver
-#: data, so reuse is safe; without the memo every suite query re-reads 10
-#: parquet footers (~0.2 s warm), which summed over a 127-query bench is
-#: tens of seconds of pure listing overhead.  Bounded: cleared at 16
-#: entries (a session touches a handful of sf dirs at most).
-_TABLES_MEMO: dict[tuple[str, str], dict] = {}
-
-
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     """Register the driver's parquet tables as temp views and return them.
 
     Tables: region nation customer supplier part orders lineitem events
     documents embeddings (TESTDATA.md).  Reading is lazy; Catalyst pushes
     filters/column pruning into the parquet scans.
+
+    Memoized via :func:`derived_state`: the returned DataFrames are
+    immutable lazy plans over read-only driver data, so reuse is safe;
+    without the memo every suite query re-reads 10 parquet footers
+    (~0.2 s warm), which summed over a 127-query bench is tens of seconds
+    of pure listing overhead.  Temp views are re-pointed on every call
+    because a session can interleave sf dirs and the spark.sql-surface
+    queries resolve through the views.
     """
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    memo = _TABLES_MEMO.get(key)
-    if memo is not None:
-        # re-point the temp views: a session can interleave sf dirs, and
-        # the spark.sql-surface queries resolve through the views
-        for name, df in memo.items():
-            df.createOrReplaceTempView(name)
-        return dict(memo)
+    memo = derived_state(
+        spark, "loaded_tables", sf_dir, lambda: _load_tables_uncached(spark, sf_dir)
+    )
+    for name, df in memo.items():
+        df.createOrReplaceTempView(name)
+    return dict(memo)
+
+
+def _load_tables_uncached(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     names = [
         "region",
         "nation",
@@ -262,9 +304,6 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
                 # already TimestampType: nothing to do
         df.createOrReplaceTempView(name)
         out[name] = df
-    if len(_TABLES_MEMO) > 16:
-        _TABLES_MEMO.clear()
-    _TABLES_MEMO[key] = dict(out)
     return out
 
 
