@@ -570,6 +570,30 @@ FROM runs GROUP BY user_id
 TRIANGLES_ARRAY_PATH_MAX_EDGES = 32_000_000
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared distinct co-purchase edge list (pa < pb once per
+    edge): ONE orderkey self-join + distinct, eagerly checkpointed —
+    consumed by both the triangle count and PageRank, which under a
+    concurrent pool would otherwise each run the identical build."""
+    from lab_flink_repository_analytics_spark.session import derived_state
+
+    def build():
+        t = load_tables(spark, sf_dir)
+        li = t["lineitem"].select("l_orderkey", "l_partkey")
+        a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+        b = li.select(
+            F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb")
+        )
+        return (
+            a.join(b, (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb")))
+            .select("pa", "pb")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    return derived_state(spark, "copurchase_edges", sf_dir, build)
+
+
 def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + global clustering coefficient of the part
     co-purchase graph (edge = two parts share an order, stored once as
@@ -589,18 +613,9 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts for the clustering coefficient come from degrees, not
     enumeration.  The result is orientation-invariant, so the DuckDB
     oracle keeps the direct formulation."""
-    t = load_tables(spark, sf_dir)
-    li = t["lineitem"].select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb")))
-        .select("pa", "pb")
-        .distinct()
-    )
     # Staged materialization (round-4 rework of the round-3 regression):
-    # 1. edge list persisted + counted eagerly — one cached artifact, and
-    #    the count doubles as the result's n_edges scalar;
+    # 1. the distinct edge list is the session-shared checkpoint from
+    #    _copurchase_edges (PageRank consumes the same artifact);
     # 2. degree table persisted + materialized — 20k-row node-cardinality
     #    table with ACCURATE InMemoryRelation stats, so Catalyst plans the
     #    two orientation joins as broadcast hash joins by itself (at 100×
@@ -608,17 +623,13 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    back to shuffled equi-joins — no hint pinning the wrong choice);
     # 3. oriented list eagerly localCheckpoint-ed (lineage cut: its three
     #    consumers re-read materialized blocks, never recompute the join
-    #    chain), after which the edge cache is RELEASED — the query holds
-    #    one heavyweight cached artifact at any moment instead of r3's two
-    #    for the whole lifetime, which thrashed storage under a pool.
-    #    On a cluster the localCheckpoint becomes a reliable checkpoint.
-    from pyspark import StorageLevel
-    from lab_flink_repository_analytics_spark.session import (
-        persist_bounded,
-        release_persist_slot,
-    )
+    #    chain) — the query holds one heavyweight cached artifact at any
+    #    moment instead of r3's two for the whole lifetime, which thrashed
+    #    storage under a pool.  On a cluster the localCheckpoints become
+    #    reliable checkpoints.
+    from lab_flink_repository_analytics_spark.session import persist_bounded
 
-    edges = persist_bounded(edges, "triangles.edges", StorageLevel.MEMORY_AND_DISK)
+    edges = _copurchase_edges(spark, sf_dir)
     deg = persist_bounded(
         edges.select(F.col("pa").alias("node"))
         .unionAll(edges.select(F.col("pb").alias("node")))
@@ -626,9 +637,8 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("deg")),
         "triangles.deg",
     )
-    # ONE job materializes both caches (edges, then deg) and returns the
-    # edge count off the degree table (Σ deg = 2m) — no separate count
-    # pass over either cache
+    # ONE job materializes the degree cache and returns the edge count
+    # off it (Σ deg = 2m) — no separate count pass
     ne = int(deg.agg(F.sum("deg")).first()[0] or 0) // 2
     # wedges: sum over nodes of C(deg, 2) — straight off the degree table
     wedges = deg.agg(
@@ -653,7 +663,6 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("u"),
             F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("v"),
         ).localCheckpoint(eager=True)
-        release_persist_slot("triangles.edges")
         inn = oriented.groupBy("v").agg(
             F.array_sort(F.collect_list("u")).alias("nbrs")
         )
@@ -681,7 +690,6 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("v"),
             F.when(a_first, kb).otherwise(ka).alias("kv"),
         ).localCheckpoint(eager=True)
-        release_persist_slot("triangles.edges")
         o2 = oriented.select(
             F.col("u").alias("u2"), F.col("v").alias("w"), F.col("kv").alias("kw")
         )
@@ -990,15 +998,9 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation)."""
     from lab_flink_repository_analytics_spark.datapipe.graph import pagerank_int
 
-    t = load_tables(spark, sf_dir)
-    li = t["lineitem"].select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb")))
-        .select("pa", "pb")
-        .distinct()
-    )
+    # the distinct edge list is the session-shared checkpoint also
+    # consumed by copurchase_triangles
+    edges = _copurchase_edges(spark, sf_dir)
     return (
         pagerank_int(edges, iters=3)
         .orderBy(F.col("pr").desc(), "node")
