@@ -31,6 +31,8 @@ EXTENDED_SMOKE_QUERIES=(
   bigram_lm_scores source_gram_overlap source_token_entropy
   semantic_dedup kmeans_clusters embedding_covariance
   leakage_safe_split_counts ffd_packing_summary event_value_drift
+  bpe_fertility_by_source near_dup_source_matrix mixture_token_quotas
+  length_bucket_stats
 )
 
 if [[ "$QUICK" == "--extended-smoke" ]]; then
