@@ -2365,6 +2365,70 @@ FROM rk
 """
 
 
+def quota_fill_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the mixture token budget: per source, documents are taken
+    in deterministic salted-md5 order until the cumulative token count
+    reaches the source's Hamilton quota (the document that crosses the
+    boundary is included — standard budget fill).  The step that turns
+    ``mixture_token_quotas``' plan into an actual document selection,
+    reshard-stable and engine-portable.
+
+    Scale shape: one window per source partition (cumulative sum in hash
+    order), quotas broadcast (#sources rows); the corpus never sorts
+    globally.  Output: (source, token_quota, n_docs_selected,
+    n_tokens_selected)."""
+    from lab_flink_repository_analytics_spark.datapipe.text import md5_hash32
+    from lab_flink_repository_analytics_spark.session import rebalance
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    quotas = mixture_token_quotas(spark, sf_dir).select("source", "token_quota")
+    h = md5_hash32(F.concat(F.lit("quota"), F.col("doc_id").cast("string")))
+    per_doc = rebalance(docs).select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        h.alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_doc.withColumn("cum", F.sum("n_tokens").over(w))
+        .join(F.broadcast(quotas), "source")
+        .filter(F.col("cum") - F.col("n_tokens") < F.col("token_quota"))
+        .groupBy("source", "token_quota")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_selected"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens_selected"),
+        )
+    )
+
+
+QUOTA_FILL_SQL = f"""
+WITH quotas AS ({{quotas}}),
+per_doc AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5('quota' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM documents
+),
+cum AS (
+  SELECT source, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM per_doc
+)
+SELECT cum.source, q.token_quota,
+       CAST(count(*) AS BIGINT) AS n_docs_selected,
+       CAST(sum(cum.n_tokens) AS BIGINT) AS n_tokens_selected
+FROM cum JOIN quotas q ON q.source = cum.source
+WHERE c - cum.n_tokens < q.token_quota
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Length-bucket histogram (packing/batching planner input)
 
@@ -2446,6 +2510,7 @@ QUERIES = {
     "bpe_fertility_by_source": bpe_fertility_by_source,
     "near_dup_source_matrix": near_dup_source_matrix,
     "mixture_token_quotas": mixture_token_quotas,
+    "quota_fill_counts": quota_fill_counts,
     "length_bucket_stats": length_bucket_stats,
 }
 
@@ -2488,5 +2553,6 @@ ORACLES = {
     # near_dup_source_matrix is registered in suite.py, where the
     # NEAR_DUP_SQL candidate-pair CTE it reuses is defined
     "mixture_token_quotas": MIXTURE_TOKEN_QUOTAS_SQL,
+    "quota_fill_counts": QUOTA_FILL_SQL.format(quotas=MIXTURE_TOKEN_QUOTAS_SQL),
     "length_bucket_stats": LENGTH_BUCKET_SQL,
 }

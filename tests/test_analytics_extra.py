@@ -201,3 +201,30 @@ def test_near_dup_source_matrix_conserves_pairs(spark, sf_dir):
     rows = AX.near_dup_source_matrix(spark, sf_dir).collect()
     assert sum(r["n_pairs"] for r in rows) == total_pairs
     assert all(r["source_a"] <= r["source_b"] for r in rows)
+
+
+def test_quota_fill_reaches_quota_or_exhausts_source(spark, sf_dir):
+    from lab_flink_repository_analytics_spark.session import load_tables
+
+    totals = {
+        r["source"]: (r["toks"], r["docs"])
+        for r in load_tables(spark, sf_dir)["documents"]
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split("text", " "))).alias("toks"),
+            F.count(F.lit(1)).alias("docs"),
+        )
+        .collect()
+    }
+    rows = AX.quota_fill_counts(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        toks, docs = totals[r["source"]]
+        if r["token_quota"] >= toks:
+            # budget exceeds the source: the fill takes EVERY document
+            assert (r["n_docs_selected"], r["n_tokens_selected"]) == (docs, toks), r
+        else:
+            # the boundary-crossing doc is included, so the selected mass
+            # reaches the quota but no doc beyond the boundary is taken
+            assert r["n_tokens_selected"] >= r["token_quota"], r
+            assert r["n_docs_selected"] < docs, r

@@ -41,6 +41,7 @@ BNLJ_OK = {
     "source_mixture_weights",  # broadcast one-row (tot_tokens, tot_sqrt) normalizer
     "ann_recall_eval",  # broadcast query set on BOTH sides (as ann_cosine_topk/ann_lsh_topk)
     "mixture_token_quotas",  # broadcast one-row normalizer + one-row leftover count
+    "quota_fill_counts",  # embeds mixture_token_quotas (same one-row broadcasts)
 }
 
 #: queries allowed an Exchange SinglePartition — every one is a
@@ -63,6 +64,7 @@ SINGLE_PARTITION_OK = {
     "source_mixture_weights",  # scalar normalizer over #sources pre-aggregated rows
     "lsh_dedup_eval",  # one-row precision/recall counters (partial-agg first)
     "mixture_token_quotas",  # global remainder-rank window over #sources rows (bounded by contract)
+    "quota_fill_counts",  # embeds the same bounded remainder-rank window
     "bpe_fertility_by_source",  # BPE argmax reduction (as bpe_merges/bpe_token_counts)
     "length_bucket_stats",  # log2-bounded bucket count (≤ ~30 groups)
 }
