@@ -140,6 +140,8 @@ def pagerank_int(
     scale: int = 10**12,
     d_num: int = 17,
     d_den: int = 20,
+    deg: DataFrame | None = None,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an UNDIRECTED edge list (``pa < pb``
     once per edge), in scaled-integer arithmetic.
@@ -164,6 +166,15 @@ def pagerank_int(
     persist-slot form did cascade under a concurrent pool and regressed
     3.5×).  On a cluster the localCheckpoints become reliable
     checkpoints.  Returns (node, pr) with ranks in scaled units.
+
+    ``deg``/``n_nodes``: callers that already materialized the graph's
+    undirected degree table (node, deg) — e.g. session-shared state also
+    consumed by a triangle count — pass it here to skip the degree build
+    and its blocking materialization barrier entirely (one prep job
+    instead of three).  Contract: ``deg`` must be the exact degree of the
+    DISTINCT undirected edge set (one row per node, deg ≥ 1) and
+    ``n_nodes`` its row count; a mismatched table silently mis-weights
+    rank mass.
     """
     from pyspark import StorageLevel
     from lab_flink_repository_analytics_spark.session import (
@@ -171,25 +182,39 @@ def pagerank_int(
         release_persist_slot,
     )
 
-    both = persist_bounded(
-        _bidirect(edges, "pa", "pb").select(
+    if deg is None:
+        both = persist_bounded(
+            _bidirect(edges, "pa", "pb").select(
+                F.col("a").alias("src"), F.col("b").alias("dst")
+            ),
+            # consumed twice below (degree count + deg-fold join); released
+            # as soon as the folded edge table is materialized
+            "graph.pagerank.edges",
+            StorageLevel.MEMORY_AND_DISK,
+        )
+        deg = both.groupBy("src").agg(
+            F.count(F.lit(1)).alias("deg")
+        ).withColumnRenamed("src", "node").localCheckpoint(eager=True)
+        ebd = (
+            both.join(deg.hint("shuffle_hash"), both["src"] == deg["node"])
+            .select("src", "dst", "deg")
+            .localCheckpoint(eager=True)
+        )
+        release_persist_slot("graph.pagerank.edges")
+        n = deg.count()  # node count: driver scalar, node-cardinality agg
+    else:
+        # prebuilt degree: the bidirected fold is consumed exactly once
+        # (by the ebd checkpoint below), so no persist is needed and the
+        # whole prep is ONE blocking job
+        both = _bidirect(edges, "pa", "pb").select(
             F.col("a").alias("src"), F.col("b").alias("dst")
-        ),
-        # consumed twice below (degree count + deg-fold join); released as
-        # soon as the folded edge table is materialized
-        "graph.pagerank.edges",
-        StorageLevel.MEMORY_AND_DISK,
-    )
-    deg = both.groupBy("src").agg(
-        F.count(F.lit(1)).alias("deg")
-    ).withColumnRenamed("src", "node").localCheckpoint(eager=True)
-    ebd = (
-        both.join(deg.hint("shuffle_hash"), both["src"] == deg["node"])
-        .select("src", "dst", "deg")
-        .localCheckpoint(eager=True)
-    )
-    release_persist_slot("graph.pagerank.edges")
-    n = deg.count()  # node count: driver-side scalar, node-cardinality agg
+        )
+        ebd = (
+            both.join(deg.hint("shuffle_hash"), both["src"] == deg["node"])
+            .select("src", "dst", "deg")
+            .localCheckpoint(eager=True)
+        )
+        n = n_nodes if n_nodes is not None else deg.count()
     base = (scale * (d_den - d_num)) // (d_den * n)
     pr = deg.select("node", F.lit(scale // n).cast("bigint").alias("pr"))
     for _ in range(iters):

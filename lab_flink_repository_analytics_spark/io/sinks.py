@@ -229,7 +229,27 @@ def compact_parquet(
 
     if partition_cols is None:
         partition_cols = _detect_partition_cols(spark, path)
-    df = spark.read.parquet(path)
+    # Partition values must round-trip VERBATIM: with type inference on,
+    # a string partition value that parses as a number/date (split=01,
+    # day=2021-1-5) would be re-typed on read and written back under a
+    # RENAMED directory (split=1), silently mutating the layout and the
+    # downstream partition-column types.  Read with inference off so
+    # partition columns stay strings and directory names are preserved.
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_infer = spark.conf.get(infer_key, "true")
+    spark.conf.set(infer_key, "false")
+    try:
+        # partition discovery happens eagerly at load(), so the conf can
+        # be restored as soon as the DataFrame exists
+        df = spark.read.parquet(path)
+    finally:
+        spark.conf.set(infer_key, prev_infer)
+    if partition_cols and not all(c in df.columns for c in partition_cols):
+        # detected layout disagrees with the actual read schema (stray
+        # k=v-named directory, mixed-depth layout): partitionBy on a
+        # missing column would fail the rewrite mid-flight — fall back
+        # to the flat path, which preserves all data
+        partition_cols = []
     rows = df.count()
     n_files = max(1, -(-rows // target_rows_per_file))
     range_cols = [*(partition_cols or []), *(sort_cols or [])]

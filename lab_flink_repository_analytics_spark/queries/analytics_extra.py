@@ -594,6 +594,42 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return derived_state(spark, "copurchase_edges", sf_dir, build)
 
 
+def _copurchase_deg(spark: SparkSession, sf_dir: str) -> dict:
+    """Session-shared degree state of the co-purchase graph, built once
+    off the shared edge checkpoint and consumed by BOTH the triangle
+    count and PageRank (round-5 pooled-tail fix: each query previously
+    re-derived the identical node-cardinality degree table behind its own
+    blocking materialization barrier).
+
+    Returns ``{"deg": DataFrame(node, deg), "n_nodes": int,
+    "n_edges": int}``.  ``deg`` is persisted and materialized — a
+    node-cardinality table whose accurate InMemoryRelation stats let
+    Catalyst pick broadcast joins by itself while small and fall back to
+    shuffled equi-joins at scale; the two scalars ride the same single
+    materialization job (Σ deg = 2m), so no extra count pass ever runs."""
+    from lab_flink_repository_analytics_spark.session import derived_state
+
+    def build():
+        edges = _copurchase_edges(spark, sf_dir)
+        deg = (
+            edges.select(F.col("pa").alias("node"))
+            .unionAll(edges.select(F.col("pb").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .persist()
+        )
+        row = deg.agg(
+            F.sum("deg").alias("s"), F.count(F.lit(1)).alias("n")
+        ).first()
+        return {
+            "deg": deg,
+            "n_nodes": int(row["n"] or 0),
+            "n_edges": int(row["s"] or 0) // 2,
+        }
+
+    return derived_state(spark, "copurchase_deg", sf_dir, build)
+
+
 def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + global clustering coefficient of the part
     co-purchase graph (edge = two parts share an order, stored once as
@@ -613,12 +649,14 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts for the clustering coefficient come from degrees, not
     enumeration.  The result is orientation-invariant, so the DuckDB
     oracle keeps the direct formulation."""
-    # Staged materialization (round-4 rework of the round-3 regression):
+    # Staged materialization (round-4 rework of the round-3 regression;
+    # round 5 moved the degree stage into session-shared state):
     # 1. the distinct edge list is the session-shared checkpoint from
     #    _copurchase_edges (PageRank consumes the same artifact);
-    # 2. degree table persisted + materialized — 20k-row node-cardinality
-    #    table with ACCURATE InMemoryRelation stats, so Catalyst plans the
-    #    two orientation joins as broadcast hash joins by itself (at 100×
+    # 2. degree table + node/edge counts come from _copurchase_deg —
+    #    persisted + materialized ONCE per session, shared with PageRank;
+    #    its accurate InMemoryRelation stats let Catalyst plan the two
+    #    orientation joins as broadcast hash joins by itself (at 100×
     #    the degree table outgrows the threshold and the same code falls
     #    back to shuffled equi-joins — no hint pinning the wrong choice);
     # 3. oriented list eagerly localCheckpoint-ed (lineage cut: its three
@@ -627,19 +665,9 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    moment instead of r3's two for the whole lifetime, which thrashed
     #    storage under a pool.  On a cluster the localCheckpoints become
     #    reliable checkpoints.
-    from lab_flink_repository_analytics_spark.session import persist_bounded
-
     edges = _copurchase_edges(spark, sf_dir)
-    deg = persist_bounded(
-        edges.select(F.col("pa").alias("node"))
-        .unionAll(edges.select(F.col("pb").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg")),
-        "triangles.deg",
-    )
-    # ONE job materializes the degree cache and returns the edge count
-    # off it (Σ deg = 2m) — no separate count pass
-    ne = int(deg.agg(F.sum("deg")).first()[0] or 0) // 2
+    shared = _copurchase_deg(spark, sf_dir)
+    deg, ne = shared["deg"], shared["n_edges"]
     # wedges: sum over nodes of C(deg, 2) — straight off the degree table
     wedges = deg.agg(
         F.sum(F.expr("CAST(deg * (deg - 1) / 2 AS BIGINT)")).alias("n_wedges")
@@ -998,11 +1026,13 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation)."""
     from lab_flink_repository_analytics_spark.datapipe.graph import pagerank_int
 
-    # the distinct edge list is the session-shared checkpoint also
-    # consumed by copurchase_triangles
+    # the distinct edge list AND the materialized degree table are the
+    # session-shared checkpoints also consumed by copurchase_triangles —
+    # the whole PageRank prep collapses to one ebd-fold job
     edges = _copurchase_edges(spark, sf_dir)
+    shared = _copurchase_deg(spark, sf_dir)
     return (
-        pagerank_int(edges, iters=3)
+        pagerank_int(edges, iters=3, deg=shared["deg"], n_nodes=shared["n_nodes"])
         .orderBy(F.col("pr").desc(), "node")
         .limit(20)
     )
@@ -1841,6 +1871,34 @@ BPE_TOKEN_COUNTS_SQL = _bpe_token_counts_sql()
 MIX_TEMP_NOTE = "alpha = 1/2 (sqrt temperature) so both engines compute an IEEE-exact power"
 
 
+def _source_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared per-source unigram rollup (source, w, c) — the ONE
+    corpus text scan + explode behind both ``source_token_entropy`` and
+    ``source_mixture_weights`` (Σc per source ≡ Σ size(split(text)) per
+    source, so the mixture query's token totals come off the same
+    aggregate).  Eagerly localCheckpoint-ed via session.derived_state:
+    vocab-per-source-sized (Heaps' law — sublinear in the corpus), the
+    same boundedness argument as the BPE word-frequency table."""
+    from lab_flink_repository_analytics_spark.session import (
+        derived_state,
+        rebalance,
+    )
+
+    def build():
+        from lab_flink_repository_analytics_spark.datapipe.text import tokens
+
+        docs = load_tables(spark, sf_dir)["documents"]
+        return (
+            rebalance(docs)
+            .select("source", F.explode(tokens("text")).alias("w"))
+            .groupBy("source", "w")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=True)
+        )
+
+    return derived_state(spark, "source_word_counts", sf_dir, build)
+
+
 def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled domain-mixing weights per source (the
     multilingual/multi-domain resampling rule: p_i ∝ share_i^α flattens
@@ -1849,16 +1907,24 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt(share) ∝ sqrt(n_tokens), weights normalize identically from the
     exact integer token counts).
 
-    Scale shape: one partial-agg rollup to #sources rows; the Σ sqrt
-    normalizer is an exact DECIMAL sum over those rows (summation order
-    across groups is engine-dependent for doubles, never for decimals);
-    the weight division is double with pinned operand order.  Output:
-    (source, n_docs, n_tokens, token_share, sample_weight)."""
+    Scale shape: token totals fold off the session-shared (source, w, c)
+    rollup (:func:`_source_word_counts` — shared with
+    source_token_entropy, so the corpus text scan runs once per session);
+    doc counts are a text-free scan of the pruned ``source`` column.  The
+    Σ sqrt normalizer is an exact DECIMAL sum over #source rows (summation
+    order across groups is engine-dependent for doubles, never for
+    decimals); the weight division is double with pinned operand order.
+    Output: (source, n_docs, n_tokens, token_share, sample_weight)."""
     docs = load_tables(spark, sf_dir)["documents"]
-    per = docs.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("n_tokens"),
+    per_docs = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
+    per_tokens = (
+        _source_word_counts(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.sum("c").cast("bigint").alias("n_tokens"))
+    )
+    per = per_docs.join(per_tokens, "source")
     tot = per.agg(
         F.sum("n_tokens").cast("bigint").alias("tot_tokens"),
         F.sum(F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(28,12)")).alias(
@@ -2017,13 +2083,26 @@ EVENT_DRIFT_SQL = _event_drift_sql()
 
 
 def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source unigram Shannon entropy + vocab size (datapipe/text.py::
-    token_entropy_df): the diversity signal read next to
-    source_mixture_weights when composing a training blend."""
-    from lab_flink_repository_analytics_spark.datapipe import text as TX
-
-    docs = load_tables(spark, sf_dir)["documents"]
-    return TX.token_entropy_df(docs, ["source"])
+    """Per-source unigram Shannon entropy + vocab size: the diversity
+    signal read next to source_mixture_weights when composing a training
+    blend.  Same math as datapipe/text.py::token_entropy_df, but fed from
+    the session-shared (source, w, c) rollup (:func:`_source_word_counts`)
+    so the corpus scan + explode is paid once per session, not once per
+    query (round-4 regression fix: this query and the mixture weights
+    each re-ran the identical unigram pass)."""
+    counts = _source_word_counts(spark, sf_dir)
+    totals = counts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    p = F.col("c").cast("double") / F.col("n_tokens")
+    term = (-(p * F.log(p))).cast("decimal(25,18)")
+    return (
+        counts.join(F.broadcast(totals), "source")
+        .select("source", "n_tokens", "vocab", term.alias("t"))
+        .groupBy("source", "n_tokens", "vocab")
+        .agg(F.round(F.sum("t").cast("double"), 6).alias("entropy"))
+    )
 
 
 SOURCE_ENTROPY_SQL = """
@@ -2377,11 +2456,19 @@ def quota_fill_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     order), quotas broadcast (#sources rows); the corpus never sorts
     globally.  Output: (source, token_quota, n_docs_selected,
     n_tokens_selected)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    quotas = mixture_token_quotas(spark, sf_dir).select("source", "token_quota")
+    return quota_fill(docs, quotas)
+
+
+def quota_fill(docs: DataFrame, quotas: DataFrame) -> DataFrame:
+    """Batch quota-fill core over ``docs (source, doc_id, text, …)`` and
+    ``quotas (source, token_quota)`` — shared by the suite query above and
+    the batch side of the streaming-parity test
+    (streaming/stateful.py::quota_fill_stream is the incremental twin)."""
     from lab_flink_repository_analytics_spark.datapipe.text import md5_hash32
     from lab_flink_repository_analytics_spark.session import rebalance
 
-    docs = load_tables(spark, sf_dir)["documents"]
-    quotas = mixture_token_quotas(spark, sf_dir).select("source", "token_quota")
     h = md5_hash32(F.concat(F.lit("quota"), F.col("doc_id").cast("string")))
     per_doc = rebalance(docs).select(
         "source",

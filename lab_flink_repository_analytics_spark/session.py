@@ -19,6 +19,7 @@ environment and default to cluster-appropriate behavior when unset.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -34,6 +35,33 @@ from pyspark.sql import types as T
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
+
+
+def _default_driver_memory_gb(cap_gb: int = 16, floor_gb: int = 1) -> int:
+    """Local-mode driver-memory default in GiB: 1/8 of the machine's
+    effective memory (min of physical RAM and any cgroup v1/v2 limit),
+    clamped to [floor, cap].  1/8 leaves room for Python workers, the
+    OS page cache parquet reads live off, and concurrent processes; on
+    a 128 GiB bench host this lands on the 16 GiB cap, on a 4 GiB
+    container it degrades to 1g instead of failing JVM startup."""
+    limits = []
+    try:
+        limits.append(os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES"))
+    except (ValueError, OSError, AttributeError):
+        pass
+    for p in ("/sys/fs/cgroup/memory.max",
+              "/sys/fs/cgroup/memory/memory.limit_in_bytes"):
+        try:
+            with open(p) as f:
+                raw = f.read().strip()
+            if raw.isdigit():
+                limits.append(int(raw))
+        except OSError:
+            pass
+    if not limits:
+        return floor_gb
+    eff_gb = min(limits) // (1 << 30)
+    return max(floor_gb, min(cap_gb, eff_gb // 8))
 
 
 def get_spark(
@@ -95,11 +123,14 @@ def get_spark(
         # local mode: one JVM; driver memory is the only memory knob and
         # Spark's 1g default starves broadcast builds + cached graph state
         # on a many-core local run — default higher, env-overridable.
-        # 16g (up from round 3's 8g): the x8 concurrent bench holds several
-        # queries' slot-persisted intermediates at once, and storage
-        # eviction under 8g was implicated in the round-3 graph-query
-        # regressions; the host has 128 GiB.
-        mem = os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+        # The default is derived from the machine's EFFECTIVE memory
+        # (min of total RAM and any cgroup limit, so containers don't
+        # over-commit), capped at 16g — the ceiling the x8 concurrent
+        # bench needs to hold several queries' slot-persisted
+        # intermediates at once.  SPARK_DRIVER_MEMORY always wins.
+        mem = os.environ.get(
+            "SPARK_DRIVER_MEMORY", f"{_default_driver_memory_gb()}g"
+        )
         builder = builder.config("spark.driver.memory", mem)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -140,7 +171,30 @@ def persist_bounded(df, slot: str, storage_level=None):
 #: session-scoped derived-state memo (see derived_state)
 _DERIVED_MEMO: dict[tuple[str, str, str], "object"] = {}
 _DERIVED_KEY_LOCKS: dict[tuple[str, str, str], "object"] = {}
-_DERIVED_GUARD = None
+#: initialized at import — a lazily-created guard is itself a race
+_DERIVED_GUARD = threading.Lock()
+_DERIVED_MEMO_CAP = 32
+
+
+def _maybe_release(value) -> None:
+    """Best-effort release of an evicted memo value: unpersist cached /
+    locally-checkpointed DataFrames (including dict/tuple containers of
+    them).  Failures are swallowed — eviction must never fail a query,
+    and an un-releasable value is just garbage-collected later."""
+    if isinstance(value, dict):
+        for v in value.values():
+            _maybe_release(v)
+        return
+    if isinstance(value, (list, tuple)):
+        for v in value:
+            _maybe_release(v)
+        return
+    unpersist = getattr(value, "unpersist", None)
+    if callable(unpersist):
+        try:
+            unpersist(blocking=False)
+        except Exception:
+            pass
 
 
 def derived_state(spark: SparkSession, name: str, sf_dir: str, build):
@@ -152,15 +206,14 @@ def derived_state(spark: SparkSession, name: str, sf_dir: str, build):
     PER-KEY so an expensive build (BPE training) never blocks unrelated
     keys' lookups, and re-entrant builds (cluster labels → load_tables)
     take distinct keys' locks rather than deadlocking.  Only cache state
-    that is a pure function of the read-only input tables; any cached
-    DataFrame must be pinned independent of persist slots (eager
-    localCheckpoint).  Bounded: cleared at 32 entries.
+    that is a pure function of the read-only input tables.  Bounded:
+    oldest entries are EVICTED (insertion order, with best-effort
+    unpersist of cached state) once the memo exceeds its cap — never a
+    wholesale clear, so concurrent builds keep their entries and a key's
+    lock stays stable while its build is in flight (key locks are only
+    dropped by :func:`reset_derived_state`; the lock table is bounded by
+    the distinct (app, name, sf_dir) triples a process ever touches).
     """
-    import threading
-
-    global _DERIVED_GUARD
-    if _DERIVED_GUARD is None:
-        _DERIVED_GUARD = threading.Lock()
     key = (spark.sparkContext.applicationId, name, os.path.abspath(sf_dir))
     with _DERIVED_GUARD:
         if key in _DERIVED_MEMO:
@@ -171,12 +224,29 @@ def derived_state(spark: SparkSession, name: str, sf_dir: str, build):
             if key in _DERIVED_MEMO:
                 return _DERIVED_MEMO[key]
         out = build()
+        evicted = []
         with _DERIVED_GUARD:
-            if len(_DERIVED_MEMO) > 32:
-                _DERIVED_MEMO.clear()
-                _DERIVED_KEY_LOCKS.clear()
+            while len(_DERIVED_MEMO) >= _DERIVED_MEMO_CAP:
+                oldest = next(iter(_DERIVED_MEMO))
+                evicted.append(_DERIVED_MEMO.pop(oldest))
             _DERIVED_MEMO[key] = out
+        for v in evicted:
+            _maybe_release(v)
         return out
+
+
+def reset_derived_state() -> None:
+    """Drop ALL session-shared derived state (bench cold-runs, teardown),
+    with best-effort unpersist of cached/checkpointed values.  Safe under
+    concurrency: a build in flight re-inserts its own entry when done."""
+    with _DERIVED_GUARD:
+        values = list(_DERIVED_MEMO.values())
+        _DERIVED_MEMO.clear()
+        # key locks are kept: an in-flight build must keep holding the
+        # same lock object, and the table is bounded (distinct
+        # (app, name, sf_dir) triples) so there is nothing to reclaim
+    for v in values:
+        _maybe_release(v)
 
 
 def release_persist_slots() -> None:

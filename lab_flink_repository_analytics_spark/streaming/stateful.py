@@ -322,3 +322,78 @@ def ewma_stream(events: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming quota fill — incremental twin of the batch token-budget fill
+# (queries/analytics_extra.py::quota_fill / quota_fill_counts)
+
+QUOTA_FILL_SCHEMA = (
+    "source string, token_quota bigint, n_docs_selected bigint, "
+    "n_tokens_selected bigint"
+)
+_QUOTA_STATE_SCHEMA = "cum bigint, n_sel bigint, tok_sel bigint"
+
+
+def _quota_fill_update(quotas: dict):
+    """Build the per-source state-update fn closed over the (static,
+    #sources-sized) quota map — the stream analog of the batch query's
+    broadcast quota join."""
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (source,) = key
+        quota = int(quotas.get(source, 0))
+        cum, n_sel, tok_sel = state.get if state.exists else (0, 0, 0)
+        # within a batch rows fold in the batch operator's salted-md5
+        # order; across batches arrival order governs (the keyed-stream
+        # contract, same as ewma_stream / the reference's accumulators)
+        batch = pd.concat(list(pdfs)).sort_values(["h", "doc_id"])
+        for n_tokens in batch["n_tokens"]:
+            n_tokens = int(n_tokens)
+            if cum < quota:  # boundary-crossing doc is included
+                n_sel += 1
+                tok_sel += n_tokens
+            cum += n_tokens
+        state.update((cum, n_sel, tok_sel))
+        yield pd.DataFrame(
+            {
+                "source": [source],
+                "token_quota": [quota],
+                "n_docs_selected": [n_sel],
+                "n_tokens_selected": [tok_sel],
+            }
+        )
+
+    return update
+
+
+def quota_fill_stream(docs: DataFrame, quotas: dict) -> DataFrame:
+    """Update-mode stream executing a FIXED token budget over a drifting
+    corpus: per source, keep admitting documents until the cumulative
+    token count reaches the source's quota (the crossing document is
+    included — identical rule to the batch fill, which admits while
+    ``cum - n_tokens < token_quota``).
+
+    ``docs`` is a streaming (source, doc_id, text) frame; ``quotas`` maps
+    source → token budget (#sources entries, the output of the batch
+    ``mixture_token_quotas`` planner — static per deployment, so a plain
+    broadcast-closure value, not a stream-stream join).  State per key is
+    three scalars; tokenization and the salted-md5 ordering hash are
+    computed JVM-side with built-ins before the stateful fold, so the
+    Python path only folds three counters per row."""
+    from lab_flink_repository_analytics_spark.datapipe.text import md5_hash32
+
+    h = md5_hash32(F.concat(F.lit("quota"), F.col("doc_id").cast("string")))
+    per_doc = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        h.alias("h"),
+    )
+    return per_doc.groupBy("source").applyInPandasWithState(
+        _quota_fill_update(quotas),
+        QUOTA_FILL_SCHEMA,
+        _QUOTA_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

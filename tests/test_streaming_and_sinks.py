@@ -1013,3 +1013,74 @@ def test_streaming_histogram_store_feeds_psi_drift(spark, tmp_path):
     want = drift.psi_drift(ref, batch_live, ["event_type"], 10).collect()[0]
     assert got["psi"] == want["psi"] and got["psi"] > 0.1  # real shift detected
     assert got["n_b"] == 90
+
+
+def test_streaming_quota_fill_matches_batch_operator(spark, tmp_path):
+    # per-source token-budget fill: the final streamed state over two
+    # micro-batches (arrival order == the batch operator's salted-md5
+    # order, per source) must equal the batch quota_fill exactly
+    import hashlib
+
+    from lab_flink_repository_analytics_spark.queries import analytics_extra as AX
+    from lab_flink_repository_analytics_spark.streaming import stateful
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "fill")
+    ckpt = str(tmp_path / "ckpt_fill")
+    schema = "source string, doc_id long, text string"
+
+    rows = [
+        ("web" if i % 2 == 0 else "book", i, " ".join(["w"] * (3 + i % 5)))
+        for i in range(1, 13)
+    ]
+
+    def h(doc_id):
+        return int(hashlib.md5(f"quota{doc_id}".encode()).hexdigest()[:8], 16)
+
+    # per-source md5 fill order, split into a prefix batch and the rest —
+    # so stream arrival order equals the batch operator's window order
+    by_source: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (h(r[1]), r[1])):
+        by_source.setdefault(r[0], []).append(r)
+    batch1 = [r for rs in by_source.values() for r in rs[:2]]
+    batch2 = [r for rs in by_source.values() for r in rs[2:]]
+
+    quotas = {"web": 11, "book": 9}  # partial fills w/ boundary crossings
+
+    def run_once():
+        docs = spark.readStream.schema(schema).parquet(src)
+
+        def _upsert(batch_df, _):
+            if not batch_df.isEmpty():
+                sinks.upsert_by_key(
+                    batch_df.sparkSession, batch_df, out, ["source"]
+                )
+
+        q = (
+            stateful.quota_fill_stream(docs, quotas)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(_upsert)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+    run_once()
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+    run_once()
+
+    streamed = {
+        r["source"]: (r["token_quota"], r["n_docs_selected"], r["n_tokens_selected"])
+        for r in spark.read.parquet(out).collect()
+    }
+    quotas_df = spark.createDataFrame(
+        list(quotas.items()), "source string, token_quota bigint"
+    )
+    batch_df = spark.createDataFrame(batch1 + batch2, schema)
+    expect = {
+        r["source"]: (r["token_quota"], r["n_docs_selected"], r["n_tokens_selected"])
+        for r in AX.quota_fill(batch_df, quotas_df).collect()
+    }
+    assert streamed == expect

@@ -32,7 +32,7 @@ EXTENDED_SMOKE_QUERIES=(
   semantic_dedup kmeans_clusters embedding_covariance
   leakage_safe_split_counts ffd_packing_summary event_value_drift
   bpe_fertility_by_source near_dup_source_matrix mixture_token_quotas
-  length_bucket_stats
+  quota_fill_counts length_bucket_stats source_mixture_weights
 )
 
 if [[ "$QUICK" == "--extended-smoke" ]]; then

@@ -2,10 +2,28 @@
 """Sequential per-query timing for a subset of suite queries.
 
 Usage: python tools/time_queries.py q1 q2 ... [--sf DIR] [--reps N]
+                                              [--mode cold|warm]
 
 Fresh session, sequential (no pool queueing) — isolates plan cost from
 bench.py's FAIR-pool concurrency so before/after comparisons of a single
 query are apples-to-apples.
+
+Reproducibility contract (round-5 fix — the r4 artifact mixed warm-memo
+and cold reps, producing a 4.6× spread labelled "noise"):
+
+* ``--mode cold`` (default): EVERY rep pays the full query cost — persist
+  slots, session-shared derived-state memos (BPE model, cluster labels,
+  loaded tables, co-purchase edges/degrees) and the SQL cache are all
+  reset before each rep.  Per-query numbers are interpretable as
+  cold costs and comparable across rounds.
+* ``--mode warm``: one unmeasured warm-up rep builds shared state, then
+  the measured reps run against it — the steady-state cost of a query
+  inside a long-lived session.
+
+Output is one JSON object per run:
+``{"mode": ..., "reps": N, "queries": {name: {"min": s, "median": s,
+"max": s, "runs": [...]}}}`` — min/median/max are all recorded so a
+single artifact can never tell two different stories.
 """
 
 from __future__ import annotations
@@ -13,36 +31,59 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from lab_flink_repository_analytics_spark.queries import suite
-from lab_flink_repository_analytics_spark.session import get_spark, release_persist_slots
+from lab_flink_repository_analytics_spark.session import (
+    get_spark,
+    release_persist_slots,
+    reset_derived_state,
+)
+
+
+def _reset(spark):
+    """Cold-mode reset: no cross-rep state survives."""
+    release_persist_slots()
+    reset_derived_state()
+    spark.catalog.clearCache()
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="+")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
-    ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--mode", choices=("cold", "warm"), default="cold")
     args = ap.parse_args()
 
     spark = get_spark(app_name="time-queries")
     qs = suite.queries()
-    out = {}
+    out = {"mode": args.mode, "reps": args.reps, "sf": args.sf, "queries": {}}
     for name in args.queries:
         fn = qs[name]
-        best = None
+        if args.mode == "warm":
+            # unmeasured warm-up: builds memos/persists once, outside timing
+            _reset(spark)
+            fn(spark, args.sf).write.format("noop").mode("overwrite").save()
+        runs = []
         for _ in range(args.reps):
-            release_persist_slots()
+            if args.mode == "cold":
+                _reset(spark)
             t0 = time.time()
             fn(spark, args.sf).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        out[name] = round(best, 3)
-        print(f"{name}: {out[name]}s", file=sys.stderr)
+            runs.append(round(time.time() - t0, 3))
+        out["queries"][name] = {
+            "min": min(runs),
+            "median": round(statistics.median(runs), 3),
+            "max": max(runs),
+            "runs": runs,
+        }
+        print(f"{name}: min={min(runs)} median={out['queries'][name]['median']} "
+              f"max={max(runs)} ({args.mode})", file=sys.stderr)
     print(json.dumps(out))
 
 
