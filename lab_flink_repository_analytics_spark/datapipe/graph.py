@@ -219,24 +219,23 @@ def pagerank_int(
     pr = deg.select("node", F.lit(scale // n).cast("bigint").alias("pr"))
     for _ in range(iters):
         # never broadcast the rank table: it is node-cardinality and grows
-        # with the graph — shuffle-hash keeps both joins keyed on the node
-        # id at any scale (and keeps AQE from broadcasting mid-iteration)
-        contrib = (
+        # with the graph — shuffle-hash keeps the join keyed on the node
+        # id at any scale (and keeps AQE from broadcasting mid-iteration).
+        # No join back onto the node list: the graph is UNDIRECTED and
+        # every node here has deg >= 1, so each node receives inflow from
+        # every neighbor — contrib.dst already covers exactly the node
+        # set, making the per-iteration plan one join + one aggregation.
+        pr = (
             ebd.join(pr.hint("shuffle_hash"), ebd["src"] == pr["node"])
             .select("dst", F.expr("pr DIV deg").alias("c"))
             .groupBy("dst")
-            .agg(F.sum("c").alias("inflow"))
-        )
-        pr = (
-            deg.select("node")
-            .join(contrib.hint("shuffle_hash"), deg["node"] == contrib["dst"], "left")
-            .select(
-                "node",
+            .agg(
                 (
                     F.lit(base)
-                    + F.expr(f"({d_num} * coalesce(inflow, 0)) DIV {d_den}")
-                ).cast("bigint").alias("pr"),
+                    + F.expr(f"({d_num} * sum(c)) DIV {d_den}")
+                ).cast("bigint").alias("pr")
             )
+            .withColumnRenamed("dst", "node")
             # non-eager: the single final action materializes each round
             # once and truncates its lineage as it goes — same
             # eviction-cascade protection as an eager checkpoint without

@@ -3071,7 +3071,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+#: oracles NOT rewritten by :func:`_materialize_ctes` — DuckDB disallows
+#: the MATERIALIZED hint inside WITH RECURSIVE lists, and a SQL-standard
+#: ``WINDOW w AS (...)`` clause matches the same ``name AS (`` shape
+_NO_CTE_MATERIALIZE = {
+    "dedup_clusters",
+    "leakage_safe_split_counts",
+    "month_spine_revenue",
+    "running_customer_revenue",
+    "user_value_streaks",
+}
+
+_CTE_DEF_RE = None
+
+
+def _materialize_ctes(name: str, sql: str) -> str:
+    """Add DuckDB's ``AS MATERIALIZED`` hint to every CTE definition.
+
+    Purely an evaluation-strategy hint — results are identical.  Without
+    it DuckDB 1.0 INLINES every CTE reference, so the unrolled iterative
+    oracles (PageRank pr0→pr3, BPE rounds r0→r3) whose levels each
+    reference the previous level twice re-evaluate the base subtree
+    2^depth times: invisible at the driver's sf0.01, but the sf1 scale
+    replica turned the pagerank oracle from 39 s (materialized) into
+    hours (inlined).  The hint keeps the oracle cost linear in the CTE
+    chain, which is what the handwritten SQL visually promises.
+    """
+    global _CTE_DEF_RE
+    if name in _NO_CTE_MATERIALIZE or "MATERIALIZED" in sql:
+        return sql
+    if _CTE_DEF_RE is None:
+        import re
+
+        _CTE_DEF_RE = re.compile(r"\b(\w+)(\s+AS\s*\()", re.IGNORECASE)
+    return _CTE_DEF_RE.sub(lambda m: m.group(1) + " AS MATERIALIZED (", sql)
+
+
 def oracle_sql() -> dict[str, str]:
+    raw = _oracle_sql_raw()
+    return {k: _materialize_ctes(k, v) for k, v in raw.items()}
+
+
+def _oracle_sql_raw() -> dict[str, str]:
     return {
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,

@@ -121,9 +121,11 @@ def main():
 
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # driver testdata ships single-file tables; Spark-written replicas
+        # (tools/make_scale_data.py) are directories of part files — glob
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()

@@ -11,14 +11,19 @@ query are apples-to-apples.
 Reproducibility contract (round-5 fix — the r4 artifact mixed warm-memo
 and cold reps, producing a 4.6× spread labelled "noise"):
 
-* ``--mode cold`` (default): EVERY rep pays the full query cost — persist
-  slots, session-shared derived-state memos (BPE model, cluster labels,
-  loaded tables, co-purchase edges/degrees) and the SQL cache are all
-  reset before each rep.  Per-query numbers are interpretable as
-  cold costs and comparable across rounds.
-* ``--mode warm``: one unmeasured warm-up rep builds shared state, then
-  the measured reps run against it — the steady-state cost of a query
-  inside a long-lived session.
+* ``--mode cold`` (default): EVERY measured rep pays the full DATA cost —
+  persist slots, session-shared derived-state memos (BPE model, cluster
+  labels, loaded tables, co-purchase edges/degrees) and the SQL cache are
+  all reset before each rep.  One UNMEASURED warm-up execution runs first
+  (also against reset data state) to populate the JVM's whole-stage-codegen
+  cache and spawn the Arrow Python workers: rep-1 of a fresh plan is
+  otherwise 2-5× slower for reasons that have nothing to do with the plan
+  (measured r5: ffd_packing_summary 7.3s rep-1 vs 1.5s after, pure
+  compile/worker-spawn).  "Cold data, warm code" — the steady-state cost a
+  cluster pays per query, minus one-time JIT.
+* ``--mode warm``: the warm-up rep ALSO builds shared state (no resets
+  afterwards), then the measured reps run against it — the steady-state
+  cost of a query inside a long-lived session with memos populated.
 
 Output is one JSON object per run:
 ``{"mode": ..., "reps": N, "queries": {name: {"min": s, "median": s,
@@ -65,10 +70,10 @@ def main():
     out = {"mode": args.mode, "reps": args.reps, "sf": args.sf, "queries": {}}
     for name in args.queries:
         fn = qs[name]
-        if args.mode == "warm":
-            # unmeasured warm-up: builds memos/persists once, outside timing
-            _reset(spark)
-            fn(spark, args.sf).write.format("noop").mode("overwrite").save()
+        # unmeasured warm-up (both modes): compiles codegen / spawns Arrow
+        # workers; in warm mode it additionally leaves memos populated
+        _reset(spark)
+        fn(spark, args.sf).write.format("noop").mode("overwrite").save()
         runs = []
         for _ in range(args.reps):
             if args.mode == "cold":
