@@ -582,6 +582,68 @@ def kmeans_lloyd_df(
     return asg.select(F.col("id").alias(id_col), F.col("cid").alias("cluster_id"))
 
 
+def mean_pairwise_cosine(
+    vectors: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mean pairwise cosine similarity WITHIN each group — the corpus
+    redundancy/diversity signal a SemDeDup-style curation pass reads per
+    source/label before deciding how aggressively to deduplicate it.
+
+    O(N·d), never O(N²): with unit-normalized rows ``u_i`` the identity
+    ``Σ_{i≠j} u_i·u_j = ‖Σ_i u_i‖² − Σ_i ‖u_i‖²`` reduces the all-pairs
+    mean to two moments — per-dim component sums and per-row self-dots.
+    Both are DECIMAL(30,15) sums of deterministic doubles
+    (order-independent under any partitioning — the
+    :func:`covariance_matrix` float policy), so the result is bit-stable
+    across shuffle layouts and has an exact DuckDB twin.  Plan: one
+    posexplode meets a map-side partial agg (shuffle volume #groups·dim
+    rows), one per-group rollup of row-local self-dots, and a broadcast
+    join of the two model-sized tables.  Groups with a single vector
+    report NULL (no pairs).  Output: (``group_col``, n_vectors, mean_cos).
+    """
+    from lab_flink_repository_analytics_spark.session import rebalance
+
+    nrm = norm(vec_col)
+    rows = rebalance(vectors).select(
+        F.col(group_col).alias("grp"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm).alias("u"),
+    )
+    dims = (
+        rows.select("grp", F.posexplode("u").alias("d", "x"))
+        .groupBy("grp", "d")
+        .agg(F.sum(F.col("x").cast("decimal(30,15)")).alias("s"))
+    )
+    gsum = dims.groupBy("grp").agg(
+        F.sum(
+            (F.col("s").cast("double") * F.col("s").cast("double")).cast(
+                "decimal(30,15)"
+            )
+        ).alias("sumsq")
+    )
+    rowagg = rows.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum(dot("u", "u").cast("decimal(30,15)")).alias("ssum"),
+    )
+    n = F.col("n_vectors")
+    return (
+        rowagg.join(F.broadcast(gsum), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            n,
+            F.when(
+                n > 1,
+                F.round(
+                    (F.col("sumsq").cast("double") - F.col("ssum").cast("double"))
+                    / (n * (n - 1)),
+                    6,
+                ),
+            ).alias("mean_cos"),
+        )
+    )
+
+
 def covariance_matrix(
     vectors: DataFrame,
     vec_col: str = "embedding",
