@@ -594,7 +594,7 @@ def mean_pairwise_cosine(
     O(N·d), never O(N²): with unit-normalized rows ``u_i`` the identity
     ``Σ_{i≠j} u_i·u_j = ‖Σ_i u_i‖² − Σ_i ‖u_i‖²`` reduces the all-pairs
     mean to two moments — per-dim component sums and per-row self-dots.
-    Both are DECIMAL(30,15) sums of deterministic doubles
+    Both are DECIMAL sums of deterministic doubles
     (order-independent under any partitioning — the
     :func:`covariance_matrix` float policy), so the result is bit-stable
     across shuffle layouts and has an exact DuckDB twin.  Plan: one
@@ -602,13 +602,36 @@ def mean_pairwise_cosine(
     rows), one per-group rollup of row-local self-dots, and a broadcast
     join of the two model-sized tables.  Groups with a single vector
     report NULL (no pairs).  Output: (``group_col``, n_vectors, mean_cos).
+
+    Preconditions enforced up front (not silently skewed into the mean):
+    rows with a NULL embedding or a zero-norm embedding cannot contribute
+    a unit vector, so they are excluded from ``n_vectors`` too; NULL group
+    labels are dropped — a null-keyed "group" has no curation meaning.
+    The squared component sum is accumulated as DECIMAL(38,10) (28 integer
+    digits), so per-group size is bounded by ~1e13 worst-case-aligned unit
+    vectors before overflow — not the ~31M a (30,15) cast would allow.
     """
     from lab_flink_repository_analytics_spark.session import rebalance
 
     nrm = norm(vec_col)
-    rows = rebalance(vectors).select(
-        F.col(group_col).alias("grp"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm).alias("u"),
+    rows = (
+        rebalance(vectors)
+        .where(
+            F.col(group_col).isNotNull()
+            & F.col(vec_col).isNotNull()
+            & (nrm > 0)
+        )
+        .select(
+            F.col(group_col).alias("grp"),
+            # the divisor is NULL-guarded (not just filtered) so ANSI mode
+            # cannot raise DIVIDE_BY_ZERO when codegen evaluates the
+            # projection alongside the filter; guarded rows are already
+            # excluded by the nrm > 0 predicate above
+            F.transform(
+                F.col(vec_col),
+                lambda x: x.cast("double") / F.when(nrm > 0, nrm),
+            ).alias("u"),
+        )
     )
     dims = (
         rows.select("grp", F.posexplode("u").alias("d", "x"))
@@ -618,7 +641,7 @@ def mean_pairwise_cosine(
     gsum = dims.groupBy("grp").agg(
         F.sum(
             (F.col("s").cast("double") * F.col("s").cast("double")).cast(
-                "decimal(30,15)"
+                "decimal(38,10)"
             )
         ).alias("sumsq")
     )

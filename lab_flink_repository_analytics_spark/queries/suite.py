@@ -1293,6 +1293,61 @@ FROM m JOIN d d1 ON m.i = d1.i JOIN d d2 ON m.j = d2.i
 """
 
 
+def label_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean pairwise cosine similarity within each label
+    (datapipe/similarity.py::mean_pairwise_cosine) — the per-group corpus
+    redundancy/diversity signal a SemDeDup-style curation pass reads
+    before deciding how aggressively to deduplicate a source.  O(N·d) via
+    the moments identity Σ_{i≠j} u_i·u_j = ‖Σu‖² − Σ‖u_i‖², never an
+    all-pairs join."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return SIM.mean_pairwise_cosine(emb, group_col="label")
+
+
+# Twin of the Spark decimal-moments plan: per-dim component sums of the
+# unit-normalized vectors as DECIMAL(30,15) (exact, order-independent),
+# squared in double and re-summed as DECIMAL(38,10), minus the per-row
+# self-dot rollup; same contributing-row filter (non-NULL label/vector,
+# norm > 0) and the same left-to-right list_sum fold as _dot_sql.
+LABEL_REDUNDANCY_SQL = """
+WITH e0 AS (
+  SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE label IS NOT NULL AND embedding IS NOT NULL
+),
+e AS (
+  SELECT label, v,
+         sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i]))) AS nrm
+  FROM e0
+),
+u AS (
+  SELECT label AS grp, list_transform(v, x -> x / nrm) AS u
+  FROM e WHERE nrm > 0
+),
+dims AS (
+  SELECT grp, a.i AS d, sum(CAST(u[a.i] AS DECIMAL(30,15))) AS s
+  FROM u, unnest(generate_series(1, len(u))) AS a(i)
+  GROUP BY 1, 2
+),
+gsum AS (
+  SELECT grp,
+         sum(CAST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) AS DECIMAL(38,10))) AS sumsq
+  FROM dims GROUP BY 1
+),
+rowagg AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_vectors,
+         sum(CAST(list_sum(list_transform(generate_series(1, len(u)), i -> u[i] * u[i]))
+                  AS DECIMAL(30,15))) AS ssum
+  FROM u GROUP BY 1
+)
+SELECT r.grp AS label, r.n_vectors,
+       CASE WHEN r.n_vectors > 1 THEN
+         round((CAST(g.sumsq AS DOUBLE) - CAST(r.ssum AS DOUBLE))
+               / (r.n_vectors * (r.n_vectors - 1)), 6)
+       END AS mean_cos
+FROM rowagg r JOIN gsum g ON r.grp = g.grp
+"""
+
+
 def windowed_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch windowed dedup (datapipe/dedup.py::windowed_dedup): first
     event per (user, type) per 1h tumbling window, ties broken by id —
@@ -3062,6 +3117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negative_mining": hard_negative_mining,
         "kmeans_clusters": kmeans_clusters,
         "embedding_covariance": embedding_covariance,
+        "label_redundancy": label_redundancy,
         "windowed_event_dedup": windowed_event_dedup,
         "ann_recall_eval": ann_recall_eval,
         "leakage_safe_split_counts": leakage_safe_split_counts,
@@ -3186,6 +3242,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "hard_negative_mining": HARD_NEG_SQL,
         "kmeans_clusters": KMEANS_SQL,
         "embedding_covariance": EMBEDDING_COVARIANCE_SQL,
+        "label_redundancy": LABEL_REDUNDANCY_SQL,
         "windowed_event_dedup": WINDOWED_EVENT_DEDUP_SQL,
         "ann_recall_eval": _ann_recall_sql(),
         "leakage_safe_split_counts": _leakage_split_sql(),

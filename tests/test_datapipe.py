@@ -395,6 +395,65 @@ def test_semdedup_below_threshold_keeps_all(spark):
     assert all(r["keep"] for r in got)
 
 
+def test_mean_pairwise_cosine_matches_bruteforce(spark):
+    # moments identity vs an O(N²) brute-force cross-check on small N
+    import itertools
+    import math
+
+    import pytest
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [1.0, 1.0, 0.0], 0),
+        (3, [0.0, 1.0, 1.0], 0),
+        (4, [0.3, -0.7, 0.2], 0),
+        (5, [1.0, 0.0, 0.0], 1),
+        (6, [-1.0, 0.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    got = {
+        r["label"]: (r["n_vectors"], r["mean_cos"])
+        for r in SIM.mean_pairwise_cosine(emb).collect()
+    }
+
+    def brute(vs):
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return d / (na * nb)
+
+        pairs = [cos(a, b) for a, b in itertools.combinations(vs, 2)]
+        return sum(pairs) * 2 / (len(vs) * (len(vs) - 1))
+
+    for label in (0, 1):
+        vs = [v for _, v, lb in rows if lb == label]
+        n, mc = got[label]
+        assert n == len(vs)
+        assert mc == pytest.approx(brute(vs), abs=2e-6)
+
+
+def test_mean_pairwise_cosine_singleton_and_bad_rows(spark):
+    # singleton group → NULL mean; NULL / zero-norm embeddings and NULL
+    # labels are excluded from n_vectors, not silently averaged as zeros
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, None, 0),  # NULL embedding: not a contributor
+        (3, [0.0, 0.0], 0),  # zero norm: not a contributor
+        (4, [0.0, 1.0], None),  # NULL label: dropped
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    out = SIM.mean_pairwise_cosine(emb).collect()
+    assert len(out) == 1
+    assert out[0]["label"] == 0
+    assert out[0]["n_vectors"] == 1
+    assert out[0]["mean_cos"] is None
+
+
 def test_hard_negatives_excludes_same_label_and_ranks(spark):
     rows = [
         (0, [1.0, 0.0], 0),   # query
