@@ -942,7 +942,8 @@ def month_spine_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     reporting spine that a plain GROUP BY cannot produce.  The recursion
     depth is the month count (bounded, driver-controlled); the heavy table
     is still aggregated exactly once."""
-    load_tables(spark, sf_dir)
+    # table loading is lazy per-table: touch `orders` so its view exists
+    load_tables(spark, sf_dir)["orders"]
     return spark.sql(_MONTH_SPINE_SQL)
 
 

@@ -2982,7 +2982,8 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     views: totals by priority, by status, and grand total in ONE pass —
     Catalyst plans a single Expand + one aggregation, not three scans.
     ``grouping()`` flags disambiguate real NULLs from subtotal rows."""
-    load_tables(spark, sf_dir)
+    # table loading is lazy per-table: touch `orders` so its view exists
+    load_tables(spark, sf_dir)["orders"]
     return spark.sql(
         f"""
         SELECT o_orderpriority, o_orderstatus,

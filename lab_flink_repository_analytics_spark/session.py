@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import threading
+from collections.abc import Mapping
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -311,70 +312,102 @@ def rebalance(df, factor: int = 1, expected_splits: int | None = None):
     return df if df.rdd.getNumPartitions() >= target else df.repartition(target)
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
-    """Register the driver's parquet tables as temp views and return them.
+#: the driver's table universe (TESTDATA.md)
+_TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+class _LazyTableMap(Mapping):
+    """Per-table lazy loader behind :func:`load_tables`.
+
+    A single-table query used to pay 10 parquet-footer listings because
+    loading was all-or-nothing; now each table's scan plan is built (and
+    its temp view registered/re-pointed) on FIRST ``[]`` access only.
+    ``values()``/iteration force-load everything — bench.py's warm-up
+    relies on exactly that.  On a 100 TB catalog this is the difference
+    between listing one table's footers and listing the whole universe
+    per query.  The view is re-pointed on EVERY access because one session
+    can interleave sf dirs and the spark.sql-surface queries resolve
+    through the views.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._loaded: dict[str, "object"] = {}
+        self._lock = threading.RLock()
+        # needed when the caller's session (e.g. the driver's) wasn't built
+        # by get_spark — the DuckDB oracle compares naive-UTC timestamps
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def __getitem__(self, name: str):
+        if name not in _TABLE_NAMES:
+            raise KeyError(name)
+        with self._lock:
+            df = self._loaded.get(name)
+            if df is None:
+                df = _load_one_table(self._spark, self._sf_dir, name)
+                self._loaded[name] = df
+            df.createOrReplaceTempView(name)
+            return df
+
+    def __iter__(self):
+        return iter(_TABLE_NAMES)
+
+    def __len__(self) -> int:
+        return len(_TABLE_NAMES)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> Mapping:
+    """Lazily expose the driver's parquet tables as DataFrames + temp views.
 
     Tables: region nation customer supplier part orders lineitem events
-    documents embeddings (TESTDATA.md).  Reading is lazy; Catalyst pushes
-    filters/column pruning into the parquet scans.
-
-    Memoized via :func:`derived_state`: the returned DataFrames are
-    immutable lazy plans over read-only driver data, so reuse is safe;
-    without the memo every suite query re-reads 10 parquet footers
-    (~0.2 s warm), which summed over a 127-query bench is tens of seconds
-    of pure listing overhead.  Temp views are re-pointed on every call
-    because a session can interleave sf dirs and the spark.sql-surface
-    queries resolve through the views.
+    documents embeddings (TESTDATA.md).  Reading is lazy twice over:
+    Catalyst pushes filters/column pruning into the scans, and the footer
+    listing itself only happens for tables a query actually touches
+    (:class:`_LazyTableMap`).  Memoized via :func:`derived_state`: the
+    DataFrames are immutable lazy plans over read-only driver data, so
+    reuse is safe; without the memo every suite query re-reads its
+    footers, which summed over a 128-query bench is tens of seconds of
+    pure listing overhead.
     """
-    memo = derived_state(
-        spark, "loaded_tables", sf_dir, lambda: _load_tables_uncached(spark, sf_dir)
+    return derived_state(
+        spark, "loaded_tables", sf_dir, lambda: _LazyTableMap(spark, sf_dir)
     )
-    for name, df in memo.items():
-        df.createOrReplaceTempView(name)
-    return dict(memo)
 
 
-def _load_tables_uncached(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
-    names = [
-        "region",
-        "nation",
-        "customer",
-        "supplier",
-        "part",
-        "orders",
-        "lineitem",
-        "events",
-        "documents",
-        "embeddings",
-    ]
-    # needed when the caller's session (e.g. the driver's) wasn't built by
-    # get_spark — the DuckDB oracle compares naive-UTC timestamps
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    out = {}
-    for name in names:
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        for field in df.schema.fields:
-            # events.ts is parquet TIMESTAMP(NANOS).  How it surfaces depends
-            # on the runtime: Spark 4.x reads it natively as TIMESTAMP_NTZ;
-            # older runtimes (or sessions with nanosAsLong) surface BIGINT ns.
-            # Normalize both to session-TZ TIMESTAMP (ns → µs truncation,
-            # matching DuckDB's ns → µs truncation of the same files).
-            if field.name in _NANOS_TS_COLS.get(name, ()):
-                if isinstance(field.dataType, T.LongType):
-                    df = df.withColumn(
-                        field.name,
-                        F.timestamp_micros(F.expr(f"{field.name} div 1000")),
-                    )
-                elif isinstance(field.dataType, T.TimestampNTZType):
-                    # values are naive UTC; session TZ is UTC, so the cast
-                    # is a pure type change, no wall-clock shift
-                    df = df.withColumn(
-                        field.name, F.col(field.name).cast("timestamp")
-                    )
-                # already TimestampType: nothing to do
-        df.createOrReplaceTempView(name)
-        out[name] = df
-    return out
+def _load_one_table(spark: SparkSession, sf_dir: str, name: str):
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        # events.ts is parquet TIMESTAMP(NANOS).  How it surfaces depends
+        # on the runtime: Spark 4.x reads it natively as TIMESTAMP_NTZ;
+        # older runtimes (or sessions with nanosAsLong) surface BIGINT ns.
+        # Normalize both to session-TZ TIMESTAMP (ns → µs truncation,
+        # matching DuckDB's ns → µs truncation of the same files).
+        if field.name in _NANOS_TS_COLS.get(name, ()):
+            if isinstance(field.dataType, T.LongType):
+                df = df.withColumn(
+                    field.name,
+                    F.timestamp_micros(F.expr(f"{field.name} div 1000")),
+                )
+            elif isinstance(field.dataType, T.TimestampNTZType):
+                # values are naive UTC; session TZ is UTC, so the cast
+                # is a pure type change, no wall-clock shift
+                df = df.withColumn(
+                    field.name, F.col(field.name).cast("timestamp")
+                )
+            # already TimestampType: nothing to do
+    return df
 
 
 #: columns stored as TIMESTAMP(NANOS) in the driver's parquet
