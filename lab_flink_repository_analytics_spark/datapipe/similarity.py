@@ -256,11 +256,26 @@ def ivf_topk(
     lists and scores only those lists' members — a ``nprobe/n_lists``
     fraction of the data.  At scale the candidate side is written
     partitioned/bucketed by ``cid`` so a probe is a partition-pruned scan.
+
+    The quantizer is materialized ONCE and shared by both assignment
+    passes — a lazy ``centroids`` plan (e.g. :func:`sampled_centroids`'
+    TakeOrdered over the data table) would otherwise execute twice.
     """
-    cand = ivf_assignments(candidates, centroids, 1, id_col, vec_col).select(
+    rows = centroids.select("cid", "cv").collect()
+    if len(rows) <= MAX_INLINE_CENTROIDS:
+        cand = _inline_assignments(candidates, rows, 1, id_col, vec_col)
+        probes = _inline_assignments(queries, rows, nprobe, id_col, vec_col)
+    else:
+        cand = ivf_assignments(
+            candidates, centroids, 1, id_col, vec_col, inline=False
+        )
+        probes = ivf_assignments(
+            queries, centroids, nprobe, id_col, vec_col, inline=False
+        )
+    cand = cand.select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("cv2"), "cid"
     )
-    probes = ivf_assignments(queries, centroids, nprobe, id_col, vec_col).select(
+    probes = probes.select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"), "cid"
     )
     scored = (

@@ -2467,6 +2467,9 @@ def quota_fill(docs: DataFrame, quotas: DataFrame) -> DataFrame:
     ``quotas (source, token_quota)`` — shared by the suite query above and
     the batch side of the streaming-parity test
     (streaming/stateful.py::quota_fill_stream is the incremental twin)."""
+    from lab_flink_repository_analytics_spark.datapipe.ranking import (
+        with_grouped_running_sum,
+    )
     from lab_flink_repository_analytics_spark.datapipe.text import md5_hash32
     from lab_flink_repository_analytics_spark.session import rebalance
 
@@ -2477,14 +2480,15 @@ def quota_fill(docs: DataFrame, quotas: DataFrame) -> DataFrame:
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
         h.alias("h"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # skew-safe per-source cumulative sum: a dominant source (60% of the
+    # corpus) would serialize into one task under
+    # Window.partitionBy(source); the range-partitioned two-pass prefix
+    # sum bounds every task's sort at partition size instead
+    cum = with_grouped_running_sum(
+        per_doc, ["source"], ["h", "doc_id"], "n_tokens", out_col="cum"
     )
     return (
-        per_doc.withColumn("cum", F.sum("n_tokens").over(w))
-        .join(F.broadcast(quotas), "source")
+        cum.join(F.broadcast(quotas), "source")
         .filter(F.col("cum") - F.col("n_tokens") < F.col("token_quota"))
         .groupBy("source", "token_quota")
         .agg(

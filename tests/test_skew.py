@@ -101,3 +101,88 @@ def test_salted_join_matches_plain_join(spark):
     # the replicated-dim side really fans the hot key over salt buckets
     ex = skew.with_salt(facts, 8)
     assert ex.filter("k = 7").select("__salt").distinct().count() > 1
+
+
+def test_grouped_running_sum_matches_window_under_skew(spark):
+    """with_grouped_running_sum (datapipe/ranking.py) must be bit-exact vs
+    the single-partition-window form while a dominant group spans several
+    range partitions."""
+    from pyspark.sql import Window
+
+    from lab_flink_repository_analytics_spark.datapipe.ranking import (
+        with_grouped_running_sum,
+    )
+
+    # one source carries 90% of rows — the case the range split exists for
+    rows = [("big", i, (i * 7) % 101 + 1) for i in range(1800)] + [
+        (f"s{i % 5}", i, i % 17 + 1) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    got = {
+        (r["source"], r["doc_id"]): r["cum"]
+        for r in with_grouped_running_sum(
+            df, ["source"], ["doc_id"], "n_tokens", out_col="cum", num_partitions=8
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["source"], r["doc_id"]): r["cum"]
+        for r in df.withColumn("cum", F.sum("n_tokens").over(w)).collect()
+    }
+    assert got == want
+    # the dominant group genuinely spans >1 range partition (skew is split)
+    spread = (
+        df.repartitionByRange(8, "source", "doc_id")
+        .withColumn("__pid", F.spark_partition_id())
+        .filter("source = 'big'")
+        .select("__pid")
+        .distinct()
+        .count()
+    )
+    assert spread > 1
+
+
+def test_quota_fill_skewed_source_matches_bruteforce(spark):
+    """quota_fill's two-pass prefix sum selects exactly the documents the
+    sequential definition selects when one source dominates."""
+    import hashlib
+
+    from lab_flink_repository_analytics_spark.queries.analytics_extra import (
+        quota_fill,
+    )
+
+    docs = spark.createDataFrame(
+        [("big", i, "w " * (i % 23 + 1)) for i in range(900)]
+        + [("rare", 1000 + i, "w " * 5) for i in range(30)],
+        "source string, doc_id long, text string",
+    )
+    quotas = spark.createDataFrame(
+        [("big", 500), ("rare", 40)], "source string, token_quota long"
+    )
+    got = {
+        r["source"]: (r["n_docs_selected"], r["n_tokens_selected"])
+        for r in quota_fill(docs, quotas).collect()
+    }
+
+    def brute(rows, quota):
+        def h(doc_id):
+            return int(hashlib.md5(f"quota{doc_id}".encode()).hexdigest()[:8], 16)
+
+        n_docs = n_tokens = cum = 0
+        for _, doc_id, text in sorted(rows, key=lambda r: (h(r[1]), r[1])):
+            if cum >= quota:
+                break
+            nt = len(text.split(" "))
+            cum += nt
+            n_docs += 1
+            n_tokens += nt
+        return n_docs, n_tokens
+
+    big = [r for r in docs.collect() if r["source"] == "big"]
+    rare = [r for r in docs.collect() if r["source"] == "rare"]
+    assert got["big"] == brute(big, 500)
+    assert got["rare"] == brute(rare, 40)
