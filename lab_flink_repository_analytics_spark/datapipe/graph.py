@@ -204,15 +204,17 @@ def pagerank_int(
         n = deg.count()  # node count: driver scalar, node-cardinality agg
     else:
         # prebuilt degree: the bidirected fold is consumed exactly once
-        # (by the ebd checkpoint below), so no persist is needed and the
-        # whole prep is ONE blocking job
+        # per iteration, so no persist is needed — and the checkpoint is
+        # NON-eager so the fold rides iteration 1's job instead of adding
+        # a blocking prep barrier that serializes against a FAIR pool
+        # (later iterations re-read the materialized blocks)
         both = _bidirect(edges, "pa", "pb").select(
             F.col("a").alias("src"), F.col("b").alias("dst")
         )
         ebd = (
             both.join(deg.hint("shuffle_hash"), both["src"] == deg["node"])
             .select("src", "dst", "deg")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n = n_nodes if n_nodes is not None else deg.count()
     base = (scale * (d_den - d_num)) // (d_den * n)

@@ -687,10 +687,14 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # total one entry per edge, so the broadcast is ~the edge list
         # itself; the intersection runs as codegen array_intersect in
         # place — no wedge materialization, no Σ outdeg²-row shuffle.
+        # non-eager: the first consumer (the ix broadcast build) folds the
+        # orientation joins into its own job and caches the blocks; an
+        # eager barrier here serialized against the FAIR pool (r5 pooled
+        # inflation).  Lineage still truncates at first materialization.
         oriented = ed.select(
             F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("u"),
             F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("v"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         inn = oriented.groupBy("v").agg(
             F.array_sort(F.collect_list("u")).alias("nbrs")
         )
@@ -717,7 +721,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("u"),
             F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("v"),
             F.when(a_first, kb).otherwise(ka).alias("kv"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         o2 = oriented.select(
             F.col("u").alias("u2"), F.col("v").alias("w"), F.col("kv").alias("kw")
         )
