@@ -257,6 +257,35 @@ def release_persist_slots() -> None:
     _PERSIST_SLOTS.clear()
 
 
+def sweep_persistent_rdds(spark) -> int:
+    """Unpersist EVERY block-manager-resident RDD — the teardown sweep a
+    sequential harness (bench cold reset, correctness loop) runs between
+    queries.
+
+    ``localCheckpoint``-ed intermediates (graph loops, oriented edge
+    lists) are not in the SQL cache and not in a persist slot: their
+    blocks are freed only when the JVM garbage-collects the RDD object
+    and the async ContextCleaner processes it.  Under a rapid
+    query-after-query loop at a big scale factor, allocation outruns that
+    race and dead checkpoint blocks from query N OOM query N+1 (observed:
+    a 10×-replica sequential run died in pagerank's shuffle while holding
+    the previous queries' dead blocks).  Safe ONLY between queries: it
+    also severs live local checkpoints, so never call it mid-query or
+    while memos/persist slots still reference checkpointed frames — drop
+    those first (reset_derived_state / release_persist_slots).
+
+    Returns the number of RDDs unpersisted.
+    """
+    jsc = spark.sparkContext._jsc.sc()
+    rdds = jsc.getPersistentRDDs()
+    it = rdds.iterator()
+    n = 0
+    while it.hasNext():
+        it.next()._2().unpersist(False)
+        n += 1
+    return n
+
+
 def release_persist_slot(slot: str) -> None:
     """Drop ONE slot-cached intermediate as soon as its last consumer has
     materialized — iterative/staged operators (triangle orientation,

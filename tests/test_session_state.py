@@ -63,6 +63,22 @@ def test_default_driver_memory_is_clamped():
     assert 1 <= gb <= 16
 
 
+def test_sweep_persistent_rdds_frees_dead_checkpoints(spark):
+    # dead localCheckpoint blocks are invisible to the slot/memo teardown
+    # (only GC + ContextCleaner frees them, which loses the race at big
+    # scale factors); the sweep must unpersist them, and a fresh build of
+    # the same query must recompute correctly afterwards
+    S.release_persist_slots()
+    S.reset_derived_state()
+    S.sweep_persistent_rdds(spark)  # start from a clean block manager
+    ck = spark.range(100).localCheckpoint(eager=True)
+    assert ck.count() == 100
+    assert S.sweep_persistent_rdds(spark) >= 1
+    assert S.sweep_persistent_rdds(spark) == 0  # nothing left resident
+    # fresh plan (not the severed one) recomputes fine
+    assert spark.range(100).localCheckpoint(eager=True).count() == 100
+
+
 def test_compact_parquet_partition_values_round_trip_verbatim(spark, tmp_path):
     # numeric-LOOKING string partition values (split=01) must keep their
     # directory names through compaction — type inference on the rewrite

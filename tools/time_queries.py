@@ -54,14 +54,19 @@ from lab_flink_repository_analytics_spark.session import (
     get_spark,
     release_persist_slots,
     reset_derived_state,
+    sweep_persistent_rdds,
 )
 
 
 def _reset(spark):
-    """Cold-mode reset: no cross-rep state survives."""
+    """Cold-mode reset: no cross-rep state survives — including dead
+    localCheckpoint blocks, which the slot/memo teardown cannot reach
+    (they are freed by GC + ContextCleaner, which loses the race at big
+    scale factors and OOMs the next query)."""
     release_persist_slots()
     reset_derived_state()
     spark.catalog.clearCache()
+    sweep_persistent_rdds(spark)
 
 
 def main():
@@ -70,12 +75,19 @@ def main():
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--mode", choices=("cold", "warm"), default="cold")
+    ap.add_argument(
+        "--min-warmups", type=int, default=3,
+        help="minimum unmeasured warm-ups (default 3 — the JIT ramp needs "
+        "several executions at sf0.1 run lengths; use 1 for minute-scale "
+        "runs where the ~2s absolute JIT cost is noise)")
+    ap.add_argument(
+        "--max-warmups", type=int, default=5,
+        help="warm-up ceiling if convergence is never reached")
     args = ap.parse_args()
 
     spark = get_spark(app_name="time-queries")
     qs = suite.queries()
     out = {"mode": args.mode, "reps": args.reps, "sf": args.sf, "queries": {}}
-    MAX_WARMUPS = 5
     WARM_TOL = 0.25  # stop warming once run N is within 25% of run N-1
     for name in args.queries:
         fn = qs[name]
@@ -84,16 +96,17 @@ def main():
         # repeat (min 2) until consecutive warm-up times converge; in warm
         # mode the last warm-up additionally leaves memos populated
         prev = None
-        for i in range(MAX_WARMUPS):
+        for i in range(args.max_warmups):
             if args.mode == "cold" or i == 0:
                 _reset(spark)
             t0 = time.time()
             fn(spark, args.sf).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
-            # require >=3 warm-ups: ramps can show a false plateau one
-            # C2-tier short of steady state (event_gap_stats: 3.3, 1.2,
+            # min-warmups floor (default 3): ramps can show a false plateau
+            # one C2-tier short of steady state (event_gap_stats: 3.3, 1.2,
             # 1.16, then 0.86 — stopping at the 1.2 pair books mid-ramp)
-            if prev is not None and i >= 2 and dt >= prev * (1 - WARM_TOL):
+            if (prev is not None and i >= args.min_warmups - 1
+                    and dt >= prev * (1 - WARM_TOL)):
                 break
             prev = dt
         runs = []
