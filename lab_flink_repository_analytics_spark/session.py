@@ -281,7 +281,10 @@ def sweep_persistent_rdds(spark) -> int:
     it = rdds.iterator()
     n = 0
     while it.hasNext():
-        it.next()._2().unpersist(False)
+        # blocking: the sweep runs off-the-clock between queries, and an
+        # async removal would still occupy memory (forcing spills) while
+        # the next query's measured rep starts
+        it.next()._2().unpersist(True)
         n += 1
     return n
 
