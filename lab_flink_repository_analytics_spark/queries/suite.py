@@ -2000,6 +2000,76 @@ SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
 """
 
 
+def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best-duplicate curation: within each near-duplicate cluster
+    (the session-shared connected-component labels behind dedup_clusters)
+    keep the highest-quality document — quality = type-token ratio, ties
+    broken by token count then min doc_id, a total order — and report
+    what pruning the rest would discard.  This is the pass a curation
+    pipeline runs AFTER clustering: dedup_clusters says what is
+    duplicated, this says what to keep.
+
+    Plan: one doc_id-keyed shuffle join (labels × per-doc quality — both
+    corpus-sized, never broadcast) and one cluster_id hash aggregation;
+    the argmax is a struct MAX (partial/final combine, no per-cluster
+    window, no sort), so a pathological million-doc cluster still
+    aggregates tree-wise instead of serializing into one task's window.
+    Output: (cluster_id, keep_id, n_docs, tokens_dropped)."""
+    labels = _dedup_cluster_labels(spark, sf_dir)
+    docs = load_tables(spark, sf_dir)["documents"]
+    q = docs.select("doc_id", TX.quality_metrics("text").alias("q")).select(
+        "doc_id",
+        F.col("q.n_tokens").alias("n_tokens"),
+        F.col("q.distinct_ratio").alias("dr"),
+    )
+    scored = labels.join(q, "doc_id")
+    # MAX over (quality, size, -id): deterministic argmax as a plain
+    # aggregate — both engines compute dr with identical operand order,
+    # so the float compare is bit-identical
+    best = F.max(
+        F.struct(
+            F.col("dr").alias("s"),
+            F.col("n_tokens").alias("nt"),
+            (-F.col("doc_id")).alias("neg_id"),
+        )
+    ).alias("best")
+    return (
+        scored.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("tot"), best)
+        .select(
+            "cluster_id",
+            (-F.col("best.neg_id")).alias("keep_id"),
+            "n_docs",
+            (F.col("tot") - F.col("best.nt")).cast("long").alias("tokens_dropped"),
+        )
+    )
+
+
+def _cluster_representatives_sql() -> str:
+    return f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS dr
+  FROM documents
+), scored AS (
+  SELECT cl.cluster_id, q.doc_id, q.n_tokens, q.dr
+  FROM ({_dedup_clusters_sql()}) cl JOIN q USING (doc_id)
+), ranked AS (
+  SELECT cluster_id, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY dr DESC, n_tokens DESC, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY cluster_id) AS n_docs,
+         sum(n_tokens) OVER (PARTITION BY cluster_id) AS tot
+  FROM scored
+)
+SELECT cluster_id, doc_id AS keep_id, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(tot - n_tokens AS BIGINT) AS tokens_dropped
+FROM ranked WHERE rk = 1
+"""
+
+
 def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props via Spark 4's VARIANT type: ``parse_json``
     once, then typed path extraction (``variant_get``) — the shredded
@@ -3088,6 +3158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_pivot": event_type_pivot,
         "salted_event_rollup": salted_event_rollup,
         "dedup_clusters": dedup_clusters,
+        "cluster_representatives": cluster_representatives,
         "event_props_variant": event_props_variant,
         "late_order_priority": late_order_priority,
         "customers_without_orders": customers_without_orders,
@@ -3132,6 +3203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: the MATERIALIZED hint inside WITH RECURSIVE lists, and a SQL-standard
 #: ``WINDOW w AS (...)`` clause matches the same ``name AS (`` shape
 _NO_CTE_MATERIALIZE = {
+    "cluster_representatives",
     "dedup_clusters",
     "leakage_safe_split_counts",
     "month_spine_revenue",
@@ -3213,6 +3285,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "event_type_pivot": EVENT_TYPE_PIVOT_SQL,
         "salted_event_rollup": SALTED_EVENT_ROLLUP_SQL,
         "dedup_clusters": _dedup_clusters_sql(),
+        "cluster_representatives": _cluster_representatives_sql(),
         "event_props_variant": EVENT_PROPS_VARIANT_SQL,
         "late_order_priority": LATE_ORDER_PRIORITY_SQL,
         "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,

@@ -889,3 +889,38 @@ def test_source_gram_overlap_detects_copying(spark, sf_dir):
         assert r["source_a"] < r["source_b"]
         assert 0.0 < r["jaccard"] <= 1.0
         assert r["shared_grams"] > 0
+
+
+def test_cluster_representatives_keeps_best_per_cluster(spark, sf_dir):
+    # brute-force argmax over the same shared labels + quality metrics
+    from lab_flink_repository_analytics_spark.queries import suite
+    from lab_flink_repository_analytics_spark.session import load_tables
+
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in suite.dedup_clusters(spark, sf_dir).collect()
+    }
+    docs = load_tables(spark, sf_dir)["documents"]
+    quality = {
+        r["doc_id"]: (r["q"]["distinct_ratio"], r["q"]["n_tokens"])
+        for r in docs.select("doc_id", TX.quality_metrics("text").alias("q")).collect()
+    }
+    expected = {}
+    for doc_id, cl in labels.items():
+        dr, nt = quality[doc_id]
+        n, tot, best = expected.get(cl, (0, 0, None))
+        cand = (dr, nt, -doc_id)
+        expected[cl] = (n + 1, tot + nt, max(best, cand) if best else cand)
+
+    got = suite.cluster_representatives(spark, sf_dir).collect()
+    assert len(got) == len(expected)
+    multi = 0
+    for r in got:
+        n, tot, best = expected[r["cluster_id"]]
+        assert r["keep_id"] == -best[2], r
+        assert r["n_docs"] == n, r
+        assert r["tokens_dropped"] == tot - quality[r["keep_id"]][1], r
+        multi += n > 1
+    # the fixture corpus has real duplicate clusters, so the query is
+    # exercised beyond the singleton fast path
+    assert multi > 0
