@@ -179,7 +179,6 @@ def pagerank_int(
     from pyspark import StorageLevel
     from lab_flink_repository_analytics_spark.session import (
         persist_bounded,
-        release_persist_slot,
     )
 
     if deg is None:
@@ -195,28 +194,42 @@ def pagerank_int(
         deg = both.groupBy("src").agg(
             F.count(F.lit(1)).alias("deg")
         ).withColumnRenamed("src", "node").localCheckpoint(eager=True)
-        ebd = (
+        ebd = persist_bounded(
             both.join(deg.hint("shuffle_hash"), both["src"] == deg["node"])
-            .select("src", "dst", "deg")
-            .localCheckpoint(eager=True)
+            .select("src", "dst", "deg"),
+            "graph.pagerank.ebd",
+            StorageLevel.MEMORY_AND_DISK,
         )
-        release_persist_slot("graph.pagerank.edges")
         n = deg.count()  # node count: driver scalar, node-cardinality agg
+        # the "graph.pagerank.edges" slot stays resident until ebd first
+        # materializes (ebd is lazy now); the next run or the bench's
+        # between-query reset frees it — releasing here would force ebd's
+        # build to recompute bidirect() from the caller's full edge plan
     else:
-        # prebuilt degree: the bidirected fold is consumed exactly once
-        # per iteration, so no persist is needed — and the checkpoint is
-        # NON-eager so the fold rides iteration 1's job instead of adding
-        # a blocking prep barrier that serializes against a FAIR pool
-        # (later iterations re-read the materialized blocks)
+        # prebuilt degree: the bidirected fold is consumed once per
+        # iteration; lazy (non-eager) materialization rides iteration 1's
+        # job instead of adding a blocking prep barrier that serializes
+        # against a FAIR pool (later iterations re-read cached blocks)
         both = _bidirect(edges, "pa", "pb").select(
             F.col("a").alias("src"), F.col("b").alias("dst")
         )
-        ebd = (
+        ebd = persist_bounded(
             both.join(deg.hint("shuffle_hash"), both["src"] == deg["node"])
-            .select("src", "dst", "deg")
-            .localCheckpoint(eager=False)
+            .select("src", "dst", "deg"),
+            "graph.pagerank.ebd",
+            StorageLevel.MEMORY_AND_DISK,
         )
         n = n_nodes if n_nodes is not None else deg.count()
+    # ebd is slot-PERSISTED, not localCheckpoint-ed: an InMemoryRelation
+    # keeps the deg-fold join's hashpartitioning(src) visible to Catalyst,
+    # so each iteration's shuffle-hash join re-uses it and only the
+    # node-cardinality rank table is exchanged.  A checkpointed LogicalRDD
+    # reports UnknownPartitioning, which re-shuffled the FULL bidirected
+    # edge table every iteration — measured 1.6× super-linear at the 100×
+    # rehearsal (BENCH_SF10.md) where that table is 240M rows.  Eviction
+    # is disk-backed (MEMORY_AND_DISK spills, never recomputes a lost
+    # block through the loop), and the slot frees it on the next
+    # pagerank run / bench reset.
     base = (scale * (d_den - d_num)) // (d_den * n)
     pr = deg.select("node", F.lit(scale // n).cast("bigint").alias("pr"))
     for _ in range(iters):

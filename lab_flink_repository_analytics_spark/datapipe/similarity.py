@@ -206,6 +206,142 @@ def _inline_assignments(
     )
 
 
+#: coarse quantizers at or below this size skip the two-level routing in
+#: :func:`hierarchical_assignments` (n_super = 1 degenerates bit-exactly
+#: to the flat argmax, so small corpora keep the one-projection plan)
+HIERARCHICAL_MIN_LISTS = 64
+
+
+def hierarchical_assignments(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_super: int | None = None,
+) -> DataFrame:
+    """Two-level coarse-quantizer assignment: route each vector through
+    ``n_super`` super-centroids (the lowest-cid prefix of the quantizer),
+    then score ONLY the centroids whose nearest super matches — O(2·√k)
+    cosines per vector instead of the flat argmax's O(k).
+
+    Why it exists: SemDeDup grows the quantizer with the corpus
+    (k = n/512), so the flat assignment is O(n·k) = O(n²/512) — measured
+    1.2-super-linear at the 100× rehearsal (BENCH_SF10.md).  Two-level
+    routing is the standard IVF answer (coarse-within-coarse); cluster
+    sizes stay ~512 so the downstream intra-cluster pair scan stays
+    linear in n.
+
+    Determinism contract (what keeps the DuckDB oracle exact): supers are
+    a PREFIX of the cid-sorted centroid list; each centroid belongs to its
+    nearest super by (cos DESC, sid ASC) except supers, which belong to
+    THEMSELVES (so no routing bucket is ever empty, even with duplicate
+    centroid vectors); each vector picks its best super then the best
+    centroid within that super's bucket, both by (cos DESC, id ASC).  The
+    driver-side centroid→super cosines use the same left-to-right IEEE
+    double fold as :func:`dot`.  ``n_super`` defaults to
+    ``1`` for quantizers ≤ HIERARCHICAL_MIN_LISTS — which reduces to the
+    flat argmax bit-for-bit — else ``isqrt(k)``.  Precondition for
+    n_super > 1: non-zero-norm vectors (routing cosines are undefined on
+    zero vectors; the flat n_super = 1 path has no such constraint).
+
+    Plan: TWO chained narrow projections (super rank, then a map-literal
+    lookup of the routed bucket and an in-place ``array_sort`` argmax) —
+    no join, no shuffle, no window at any scale.  Like
+    :func:`ivf_assignments`' inline path, the quantizer is driver-held
+    model state; at quantizers beyond driver scale the same two-level
+    rule applies recursively (route through √k supers held inline, keep
+    the k-sized level as a broadcast table) — the routing math is
+    identical.  Returns (id, v, cid, rn=1) like ``ivf_assignments``.
+    """
+    import math
+
+    rows = sorted(
+        centroids.select("cid", "cv").collect(), key=lambda r: int(r["cid"])
+    )
+    k = len(rows)
+    if n_super is None:
+        n_super = 1 if k <= HIERARCHICAL_MIN_LISTS else max(1, math.isqrt(k))
+
+    def _pydot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    supers = []
+    for r in rows[:n_super]:
+        sv = [float(x) for x in r["cv"]]
+        supers.append((int(r["cid"]), sv, math.sqrt(_pydot(sv, sv))))
+    super_ids = {sid for sid, _, _ in supers}
+    buckets: dict[int, list] = {sid: [] for sid, _, _ in supers}
+    for r in rows:
+        cid = int(r["cid"])
+        cv = [float(x) for x in r["cv"]]
+        if cid in super_ids:
+            buckets[cid].append(r)
+            continue
+        nc = math.sqrt(_pydot(cv, cv))
+        best = None
+        for sid, sv, ns in supers:
+            cs = _pydot(cv, sv) / (nc * ns)
+            key = (-cs, sid)
+            if best is None or key < best[0]:
+                best = (key, sid)
+        buckets[best[1]].append(r)
+
+    base = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("_nv", norm(F.col("v")))
+    if n_super == 1:
+        # single routing bucket = flat argmax over the whole quantizer —
+        # identical compare chain to _inline_assignments
+        return _inline_assignments(vectors, rows, 1, id_col, vec_col)
+
+    sup_entries = []
+    for sid, sv, ns in supers:
+        lit_sv = F.array(*[F.lit(x) for x in sv])
+        cs = dot(F.col("v"), lit_sv) / (F.col("_nv") * F.lit(ns))
+        sup_entries.append(
+            F.struct((-cs).alias("negcs"), F.lit(sid).alias("sid"))
+        )
+    best_sid = F.element_at(F.array_sort(F.array(*sup_entries)), 1)["sid"]
+
+    map_args = []
+    for sid, _, _ in supers:
+        arr = []
+        for r in buckets[sid]:
+            cv = [float(x) for x in r["cv"]]
+            arr.append(
+                F.struct(
+                    F.lit(int(r["cid"])).alias("cid"),
+                    F.array(*[F.lit(x) for x in cv]).alias("cv"),
+                    F.lit(math.sqrt(_pydot(cv, cv))).alias("ncv"),
+                )
+            )
+        map_args += [F.lit(sid), F.array(*arr)]
+    cand_map = F.create_map(*map_args)
+
+    scored = F.transform(
+        F.col("_cands"),
+        lambda e: F.struct(
+            (-(dot(F.col("v"), e["cv"]) / (F.col("_nv") * e["ncv"]))).alias(
+                "negcs"
+            ),
+            e["cid"].alias("cid"),
+        ),
+    )
+    return (
+        base.withColumn("_cands", F.element_at(cand_map, best_sid))
+        .withColumn("_best", F.element_at(F.array_sort(scored), 1))
+        .select(
+            "id",
+            "v",
+            F.col("_best.cid").alias("cid"),
+            F.lit(1).cast("int").alias("rn"),
+        )
+    )
+
+
 def ivf_assignments(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -461,10 +597,14 @@ def semdedup(
     # the final keep join) — persist so the quantizer pass runs once, and
     # rebalance so a narrow local scan spreads before the per-vector
     # centroid scoring (no-op on a many-split cluster scan)
+    # two-level routed assignment: SemDeDup's quantizer grows with the
+    # corpus (k = n/512), so the flat argmax would be O(n²/512) — the
+    # hierarchical router keeps it O(n·√k) and degenerates bit-exactly to
+    # the flat compare chain for small quantizers (n_super = 1)
     asg = persist_bounded(
-        ivf_assignments(rebalance(vectors), centroids, 1, id_col, vec_col).select(
-            "id", "v", F.col("cid").alias("cluster_id")
-        ),
+        hierarchical_assignments(
+            rebalance(vectors), centroids, id_col, vec_col
+        ).select("id", "v", F.col("cid").alias("cluster_id")),
         "similarity.semdedup.asg",
     )
     a = asg.select(

@@ -1239,17 +1239,45 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semdedup(emb, cents, SEMDEDUP_TAU)
 
 
+#: the oracle twin of datapipe/similarity.py::hierarchical_assignments —
+#: the same two-level routing procedure (supers = cid-prefix, supers map
+#: to themselves, (cos DESC, id ASC) everywhere); n_super = 1 below the
+#: HIERARCHICAL_MIN_LISTS gate reduces both engines to the flat argmax
+_NLISTS_SQL = f"greatest({IVF_NLISTS}, count(*) // {SEMDEDUP_TARGET_CLUSTER})"
 SEMDEDUP_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+par AS (
+  SELECT {_NLISTS_SQL} AS n_lists,
+         CASE WHEN {_NLISTS_SQL} > {SIM.HIERARCHICAL_MIN_LISTS}
+              THEN CAST(floor(sqrt({_NLISTS_SQL})) AS BIGINT)
+              ELSE 1 END AS n_super
+  FROM e),
 c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id
-      LIMIT (SELECT greatest({IVF_NLISTS}, count(*) // {SEMDEDUP_TARGET_CLUSTER}) FROM e)),
-pairs AS (
-  SELECT e.vec_id, e.v, c.cid, {_cos_sql("e.v", "c.cv")} AS cs
-  FROM e, c
-), asg AS (
-  SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-  FROM pairs
-), a1 AS (SELECT vec_id, v, cid AS cluster_id FROM asg WHERE rn = 1),
+      LIMIT (SELECT n_lists FROM par)),
+s AS (SELECT cid AS sid, cv AS sv FROM c ORDER BY cid
+      LIMIT (SELECT n_super FROM par)),
+c2s AS (
+  SELECT cid, sid FROM (
+    SELECT c.cid, s.sid,
+           row_number() OVER (PARTITION BY c.cid
+                              ORDER BY {_cos_sql("c.cv", "s.sv")} DESC, s.sid) AS rn
+    FROM c, s WHERE c.cid NOT IN (SELECT sid FROM s)) WHERE rn = 1
+  UNION ALL
+  SELECT sid, sid FROM s),
+v2s AS (
+  SELECT vec_id, sid FROM (
+    SELECT e.vec_id, s.sid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql("e.v", "s.sv")} DESC, s.sid) AS rn
+    FROM e, s) WHERE rn = 1),
+a1 AS (
+  SELECT vec_id, v, cid AS cluster_id FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql("e.v", "c.cv")} DESC, c.cid) AS rn
+    FROM e JOIN v2s USING (vec_id)
+           JOIN c2s ON c2s.sid = v2s.sid
+           JOIN c ON c.cid = c2s.cid) WHERE rn = 1),
 dropped AS (
   SELECT DISTINCT hi.vec_id
   FROM a1 lo JOIN a1 hi ON lo.cluster_id = hi.cluster_id AND lo.vec_id < hi.vec_id

@@ -924,3 +924,65 @@ def test_cluster_representatives_keeps_best_per_cluster(spark, sf_dir):
     # the fixture corpus has real duplicate clusters, so the query is
     # exercised beyond the singleton fast path
     assert multi > 0
+
+
+def test_hierarchical_assignments_match_two_level_bruteforce(spark):
+    # 200 deterministic vectors, 81-centroid quantizer -> n_super = 9:
+    # the routed argmax must equal a Python replay of the documented rule
+    import math
+
+    def vec(i):
+        return [float((i * 7 + d * 13) % 19 - 9) + 0.5 for d in range(4)]
+
+    rows = [(i, vec(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = [(i, vec(i)) for i in range(81)]
+    cdf = spark.createDataFrame(cents, "cid bigint, cv array<double>")
+
+    got = {
+        r["id"]: r["cid"]
+        for r in SIM.hierarchical_assignments(df, cdf).collect()
+    }
+
+    def pydot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def cos(a, b):
+        return pydot(a, b) / (math.sqrt(pydot(a, a)) * math.sqrt(pydot(b, b)))
+
+    n_super = math.isqrt(81)
+    supers = cents[:n_super]
+    buckets = {sid: [] for sid, _ in supers}
+    for cid, cv in cents:
+        if cid < n_super:
+            buckets[cid].append((cid, cv))
+            continue
+        best = min((((-cos(cv, sv)), sid) for sid, sv in supers))
+        buckets[best[1]].append((cid, cv))
+    for i, v in rows:
+        bsid = min((((-cos(v, sv)), sid) for sid, sv in supers))[1]
+        bcid = min((((-cos(v, cv)), cid) for cid, cv in buckets[bsid]))[1]
+        assert got[i] == bcid, (i, got[i], bcid)
+
+
+def test_hierarchical_degenerates_to_flat_below_gate(spark):
+    # a 16-list quantizer must reproduce ivf_assignments' flat argmax
+    def vec(i):
+        return [float((i * 11 + d * 5) % 23 - 11) + 0.25 for d in range(4)]
+
+    rows = [(i, vec(i)) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cdf = spark.createDataFrame(
+        [(i, vec(i)) for i in range(16)], "cid bigint, cv array<double>"
+    )
+    flat = {
+        r["id"]: r["cid"] for r in SIM.ivf_assignments(df, cdf, 1).collect()
+    }
+    hier = {
+        r["id"]: r["cid"]
+        for r in SIM.hierarchical_assignments(df, cdf).collect()
+    }
+    assert hier == flat
