@@ -30,6 +30,32 @@ def norm(a: Column | str) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def flat_dot(a: Column | str, b: Column | str, dim: int) -> Column:
+    """Bit-identical to :func:`dot` for ``dim``-wide arrays, unrolled as a
+    flat left-associated sum of ``a[i]·b[i]`` terms.
+
+    Why it exists: ``F.aggregate``/``F.zip_with`` lambdas are evaluated
+    per-element by the interpreted HigherOrderFunction path — outside
+    whole-stage codegen — which made the pair-scan cosine the entire cost
+    of SemDeDup at the 100× rehearsal (123s of a 105s+profile query; the
+    98M-pair join itself took 1.7s).  A fixed-width chain of GetArrayItem
+    · cast · multiply · add compiles into the surrounding codegen stage.
+
+    Exactness: ``((x0·y0 + x1·y1) + x2·y2) + …`` is the same IEEE double
+    sequence as the fold's ``((0.0 + x0·y0) + x1·y1) + …`` because
+    ``0.0 + x == x`` for every non-NaN double — so swapping it in changes
+    no result hash, and the DuckDB oracles keep their ``list_sum`` form.
+    Requires the physical array width; callers probe it from the data
+    (``F.size``) and fall back to :func:`dot` when unknown.
+    """
+    a, b = _c(a), _c(b)
+    acc = None
+    for i in range(dim):
+        t = a.getItem(i).cast("double") * b.getItem(i).cast("double")
+        acc = t if acc is None else acc + t
+    return F.lit(0.0) if acc is None else acc
+
+
 def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
@@ -607,16 +633,41 @@ def semdedup(
         ).select("id", "v", F.col("cid").alias("cluster_id")),
         "similarity.semdedup.asg",
     )
-    a = asg.select(
-        F.col("id").alias("id_lo"), F.col("v").alias("v_lo"), "cluster_id"
-    )
-    b = asg.select(
-        F.col("id").alias("id_hi"), F.col("v").alias("v_hi"), "cluster_id"
-    )
+    # pair-scan arithmetic: the cluster join emits ~(cluster_size/2)
+    # cosines PER VECTOR, so the per-pair expression must live inside
+    # whole-stage codegen — probe the physical dim once and unroll
+    # (flat_dot is bit-identical to the fold; HOF lambdas measured 70×
+    # the join's own cost at the 100× rehearsal).  Each row's norm is
+    # computed once here, not once per pair — same value, same hashes.
+    dim_row = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row and dim_row["d"] is not None else None
+    if dim is not None:
+        withn = asg.withColumn("_n", F.sqrt(flat_dot("v", "v", dim)))
+        a = withn.select(
+            F.col("id").alias("id_lo"),
+            F.col("v").alias("v_lo"),
+            F.col("_n").alias("n_lo"),
+            "cluster_id",
+        )
+        b = withn.select(
+            F.col("id").alias("id_hi"),
+            F.col("v").alias("v_hi"),
+            F.col("_n").alias("n_hi"),
+            "cluster_id",
+        )
+        cs = flat_dot("v_lo", "v_hi", dim) / (F.col("n_lo") * F.col("n_hi"))
+    else:  # empty input: shape-only plan, the HOF form never evaluates
+        a = asg.select(
+            F.col("id").alias("id_lo"), F.col("v").alias("v_lo"), "cluster_id"
+        )
+        b = asg.select(
+            F.col("id").alias("id_hi"), F.col("v").alias("v_hi"), "cluster_id"
+        )
+        cs = cosine("v_lo", "v_hi")
     dropped = (
         a.join(b, "cluster_id")
         .filter(F.col("id_lo") < F.col("id_hi"))
-        .filter(F.round(cosine("v_lo", "v_hi"), 6) >= F.lit(threshold))
+        .filter(F.round(cs, 6) >= F.lit(threshold))
         .select(F.col("id_hi").alias("id"))
         .distinct()
     )

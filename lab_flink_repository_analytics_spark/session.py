@@ -121,6 +121,23 @@ def get_spark(
         builder = builder.config(k, v)
     if master.startswith("local"):
         builder = builder.master(master)
+        # Wide codegen expressions (unrolled dot products, inlined
+        # quantizer literals) compile into single generated methods that
+        # exceed HotSpot's 8 KB "huge method" bytecode bound — which the
+        # JIT then refuses to compile, leaving the hottest projection
+        # INTERPRETED (measured 16×: SemDeDup's pair scan 41.2s → 2.5s
+        # warm at the 10× replica).  Flip the refusal and give the
+        # compiled blobs room.  On a real cluster set the same flags in
+        # spark.executor.extraJavaOptions (DEPLOY.md).
+        if "spark.driver.extraJavaOptions" not in (extra_conf or {}):
+            builder = builder.config(
+                "spark.driver.extraJavaOptions",
+                os.environ.get(
+                    "SPARK_GRAFT_JAVA_OPTS",
+                    "-XX:-DontCompileHugeMethods"
+                    " -XX:ReservedCodeCacheSize=512m",
+                ),
+            )
         # local mode: one JVM; driver memory is the only memory knob and
         # Spark's 1g default starves broadcast builds + cached graph state
         # on a many-core local run — default higher, env-overridable.
