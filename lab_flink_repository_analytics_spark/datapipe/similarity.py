@@ -203,16 +203,7 @@ def _inline_assignments(
     no crossJoin row expansion, no window exchange.  Tie-break and float
     semantics are bit-identical to the join+window plan: centroid norms
     are pre-folded in Python with the same left-to-right IEEE-double
-    order as :func:`dot`, and ascending (-cs, cid) ≡ (cs DESC, cid).
-
-    The per-centroid dot is UNROLLED (``v[0]·c0 + v[1]·c1 + …``, the
-    :func:`flat_dot` trick with the centroid side folded to literals)
-    instead of a ``zip_with``/``aggregate`` fold over an array literal:
-    the fold's lambda evaluates per element on the interpreted
-    HigherOrderFunction path, while the flat chain compiles into the
-    projection's codegen — same values bit-for-bit (``0.0 + x == x``).
-    Needs the huge-method JIT flags from session.py to stay compiled at
-    large quantizer × dim products."""
+    order as :func:`dot`, and ascending (-cs, cid) ≡ (cs DESC, cid)."""
     import math
 
     entries = []
@@ -222,13 +213,8 @@ def _inline_assignments(
         for x in cv:
             acc += x * x
         ncv = math.sqrt(acc)
-        d = None
-        for i, c in enumerate(cv):
-            t = F.col("v").getItem(i).cast("double") * F.lit(c)
-            d = t if d is None else d + t
-        if d is None:
-            d = F.lit(0.0)
-        cs = d / (F.col("_nv") * F.lit(ncv))
+        lit_cv = F.array(*[F.lit(x) for x in cv])
+        cs = dot(F.col("v"), lit_cv) / (F.col("_nv") * F.lit(ncv))
         entries.append(
             F.struct((-cs).alias("negcs"), F.lit(int(r["cid"])).alias("cid"))
         )
@@ -339,13 +325,8 @@ def hierarchical_assignments(
 
     sup_entries = []
     for sid, sv, ns in supers:
-        # unrolled literal dot — same codegen rationale as
-        # _inline_assignments, same values bit-for-bit
-        d = None
-        for i, c in enumerate(sv):
-            t = F.col("v").getItem(i).cast("double") * F.lit(c)
-            d = t if d is None else d + t
-        cs = (F.lit(0.0) if d is None else d) / (F.col("_nv") * F.lit(ns))
+        lit_sv = F.array(*[F.lit(x) for x in sv])
+        cs = dot(F.col("v"), lit_sv) / (F.col("_nv") * F.lit(ns))
         sup_entries.append(
             F.struct((-cs).alias("negcs"), F.lit(sid).alias("sid"))
         )
