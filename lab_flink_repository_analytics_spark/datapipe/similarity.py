@@ -244,6 +244,7 @@ def hierarchical_assignments(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_super: int | None = None,
+    max_inline: int | None = None,
 ) -> DataFrame:
     """Two-level coarse-quantizer assignment: route each vector through
     ``n_super`` super-centroids (the lowest-cid prefix of the quantizer),
@@ -270,21 +271,34 @@ def hierarchical_assignments(
     n_super > 1: non-zero-norm vectors (routing cosines are undefined on
     zero vectors; the flat n_super = 1 path has no such constraint).
 
-    Plan: TWO chained narrow projections (super rank, then a map-literal
-    lookup of the routed bucket and an in-place ``array_sort`` argmax) —
-    no join, no shuffle, no window at any scale.  Like
-    :func:`ivf_assignments`' inline path, the quantizer is driver-held
-    model state; at quantizers beyond driver scale the same two-level
-    rule applies recursively (route through √k supers held inline, keep
-    the k-sized level as a broadcast table) — the routing math is
-    identical.  Returns (id, v, cid, rn=1) like ``ivf_assignments``.
+    Plan: TWO chained narrow projections (super rank, then a bucket
+    lookup and an in-place ``array_sort`` argmax) — no shuffle, no window
+    at any scale.  The routed bucket arrives one of two ways, switched on
+    quantizer size (``max_inline``, default MAX_INLINE_CENTROIDS):
+
+    * ``k ≤ max_inline`` — the whole quantizer is collected driver-side
+      (model-artifact-sized) and the buckets are ``create_map`` literals:
+      zero joins, pure codegen.
+    * ``k > max_inline`` — only the √k supers are collected/inlined; the
+      k-sized level STAYS DISTRIBUTED: each centroid routes to its super
+      with the same inline compare chain, buckets fold to one
+      (sid, array<struct>) row each, and vectors pick up their bucket via
+      a BROADCAST join on sid — still shuffle-free on the vector table,
+      and neither driver memory nor the Catalyst plan grows with k (the
+      round-6 form inlined all k as literals unboundedly).  The argmax
+      expression over the bucket array is identical in both forms, and
+      the per-centroid norms use the same left-to-right fold, so the two
+      plans are bit-exact for the same (k, n_super) — pinned by
+      tests/test_datapipe.py.
+
+    Returns (id, v, cid, rn=1) like ``ivf_assignments``.
     """
     import math
 
-    rows = sorted(
-        centroids.select("cid", "cv").collect(), key=lambda r: int(r["cid"])
-    )
-    k = len(rows)
+    if max_inline is None:
+        max_inline = MAX_INLINE_CENTROIDS
+    cent = centroids.select("cid", "cv")
+    k = cent.count()
     if n_super is None:
         n_super = 1 if k <= HIERARCHICAL_MIN_LISTS else max(1, math.isqrt(k))
 
@@ -294,58 +308,41 @@ def hierarchical_assignments(
             acc += x * y
         return acc
 
+    if k <= max_inline:
+        rows = sorted(cent.collect(), key=lambda r: int(r["cid"]))
+        sup_src = rows[:n_super]
+    else:
+        rows = None
+        sup_src = sorted(
+            cent.orderBy("cid").limit(n_super).collect(),
+            key=lambda r: int(r["cid"]),
+        )
+
     supers = []
-    for r in rows[:n_super]:
+    for r in sup_src:
         sv = [float(x) for x in r["cv"]]
         supers.append((int(r["cid"]), sv, math.sqrt(_pydot(sv, sv))))
     super_ids = {sid for sid, _, _ in supers}
-    buckets: dict[int, list] = {sid: [] for sid, _, _ in supers}
-    for r in rows:
-        cid = int(r["cid"])
-        cv = [float(x) for x in r["cv"]]
-        if cid in super_ids:
-            buckets[cid].append(r)
-            continue
-        nc = math.sqrt(_pydot(cv, cv))
-        best = None
-        for sid, sv, ns in supers:
-            cs = _pydot(cv, sv) / (nc * ns)
-            key = (-cs, sid)
-            if best is None or key < best[0]:
-                best = (key, sid)
-        buckets[best[1]].append(r)
 
-    base = vectors.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("_nv", norm(F.col("v")))
-    if n_super == 1:
+    if n_super == 1 and rows is not None:
         # single routing bucket = flat argmax over the whole quantizer —
         # identical compare chain to _inline_assignments
         return _inline_assignments(vectors, rows, 1, id_col, vec_col)
 
-    sup_entries = []
-    for sid, sv, ns in supers:
-        lit_sv = F.array(*[F.lit(x) for x in sv])
-        cs = dot(F.col("v"), lit_sv) / (F.col("_nv") * F.lit(ns))
-        sup_entries.append(
-            F.struct((-cs).alias("negcs"), F.lit(sid).alias("sid"))
-        )
-    best_sid = F.element_at(F.array_sort(F.array(*sup_entries)), 1)["sid"]
-
-    map_args = []
-    for sid, _, _ in supers:
-        arr = []
-        for r in buckets[sid]:
-            cv = [float(x) for x in r["cv"]]
-            arr.append(
-                F.struct(
-                    F.lit(int(r["cid"])).alias("cid"),
-                    F.array(*[F.lit(x) for x in cv]).alias("cv"),
-                    F.lit(math.sqrt(_pydot(cv, cv))).alias("ncv"),
-                )
+    def _sup_entries(vec: Column, nv: Column) -> Column:
+        entries = []
+        for sid, sv, ns in supers:
+            lit_sv = F.array(*[F.lit(x) for x in sv])
+            cs = dot(vec, lit_sv) / (nv * F.lit(ns))
+            entries.append(
+                F.struct((-cs).alias("negcs"), F.lit(sid).alias("sid"))
             )
-        map_args += [F.lit(sid), F.array(*arr)]
-    cand_map = F.create_map(*map_args)
+        return F.element_at(F.array_sort(F.array(*entries)), 1)["sid"]
+
+    base = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("_nv", norm(F.col("v")))
+    best_sid = _sup_entries(F.col("v"), F.col("_nv"))
 
     scored = F.transform(
         F.col("_cands"),
@@ -356,16 +353,71 @@ def hierarchical_assignments(
             e["cid"].alias("cid"),
         ),
     )
-    return (
-        base.withColumn("_cands", F.element_at(cand_map, best_sid))
-        .withColumn("_best", F.element_at(F.array_sort(scored), 1))
-        .select(
+    pick = lambda df: (  # noqa: E731 — shared tail of both bucket forms
+        df.withColumn("_best", F.element_at(F.array_sort(scored), 1)).select(
             "id",
             "v",
             F.col("_best.cid").alias("cid"),
             F.lit(1).cast("int").alias("rn"),
         )
     )
+
+    if rows is not None:
+        buckets: dict[int, list] = {sid: [] for sid, _, _ in supers}
+        for r in rows:
+            cid = int(r["cid"])
+            cv = [float(x) for x in r["cv"]]
+            if cid in super_ids:
+                buckets[cid].append(r)
+                continue
+            nc = math.sqrt(_pydot(cv, cv))
+            best = None
+            for sid, sv, ns in supers:
+                cs = _pydot(cv, sv) / (nc * ns)
+                key = (-cs, sid)
+                if best is None or key < best[0]:
+                    best = (key, sid)
+            buckets[best[1]].append(r)
+        map_args = []
+        for sid, _, _ in supers:
+            arr = []
+            for r in buckets[sid]:
+                cv = [float(x) for x in r["cv"]]
+                arr.append(
+                    F.struct(
+                        F.lit(int(r["cid"])).alias("cid"),
+                        F.array(*[F.lit(x) for x in cv]).alias("cv"),
+                        F.lit(math.sqrt(_pydot(cv, cv))).alias("ncv"),
+                    )
+                )
+            map_args += [F.lit(sid), F.array(*arr)]
+        return pick(
+            base.withColumn("_cands", F.element_at(F.create_map(*map_args), best_sid))
+        )
+
+    # distributed bucket build: route every centroid to its super with
+    # the SAME compare chain (supers route to themselves), fold each
+    # bucket into one array row, broadcast — n_super rows, k structs total
+    cw = cent.withColumn("_nc", norm(F.col("cv")))
+    cent_sid = F.when(
+        F.col("cid").isin(*[int(s) for s in super_ids]), F.col("cid")
+    ).otherwise(_sup_entries(F.col("cv"), F.col("_nc")))
+    bucket = (
+        cw.select(
+            cent_sid.alias("sid"),
+            F.struct(
+                F.col("cid").alias("cid"),
+                F.col("cv").alias("cv"),
+                F.col("_nc").alias("ncv"),
+            ).alias("c"),
+        )
+        .groupBy("sid")
+        .agg(F.collect_list("c").alias("_cands"))
+    )
+    joined = base.withColumn("_sid", best_sid).join(
+        F.broadcast(bucket), F.col("_sid") == F.col("sid")
+    )
+    return pick(joined)
 
 
 def ivf_assignments(
@@ -613,6 +665,23 @@ def semdedup(
     quantizer granularity (#clusters scales with n at 100 TB, exactly the
     SemDeDup recipe).  The drop rule needs no transitive closure, so no
     iteration — one join + one semi-join-shaped aggregation.
+
+    Assignment semantics AT SCALE (explicit, round-7): for quantizers
+    larger than HIERARCHICAL_MIN_LISTS the cluster assignment is the
+    two-level ROUTED argmax of :func:`hierarchical_assignments` — an
+    IVF-style approximation of the flat nearest-centroid rule (a vector
+    whose true nearest centroid lives under a different super is assigned
+    to its routed bucket's best instead, so the drop-set can differ from
+    a flat-argmax SemDeDup).  This is the standard IVF recall trade
+    (Abbas et al. cluster with exactly such a coarse quantizer); the
+    routed-vs-flat divergence is QUANTIFIED, not defined away — pinned by
+    tests/test_datapipe.py::
+    test_hierarchical_routed_vs_flat_divergence_quantified.  Below the
+    gate (≤ 64 lists) the assignment is bit-exactly the flat argmax.
+
+    Ragged embedding widths: pair cosines NULL out (zip_with pads the
+    shorter array), so differing-width vectors are never near-dups; the
+    codegen fast path is only taken when all widths match.
     """
     from lab_flink_repository_analytics_spark.session import (
         persist_bounded,
@@ -639,8 +708,21 @@ def semdedup(
     # (flat_dot is bit-identical to the fold; HOF lambdas measured 70×
     # the join's own cost at the 100× rehearsal).  Each row's norm is
     # computed once here, not once per pair — same value, same hashes.
-    dim_row = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(dim_row["d"]) if dim_row and dim_row["d"] is not None else None
+    # The probe runs on the PERSISTED asg frame (materializing the cache
+    # the query needs anyway — no extra pass over the source plan) and
+    # checks min==max width: a ragged embedding column falls back to the
+    # fold-based cosine instead of silently NULLing short rows' norms /
+    # truncating long rows' dots at a width sampled from one arbitrary row.
+    dim_row = asg.agg(
+        F.min(F.size("v")).alias("lo"), F.max(F.size("v")).alias("hi")
+    ).first()
+    dim = (
+        int(dim_row["lo"])
+        if dim_row is not None
+        and dim_row["lo"] is not None
+        and dim_row["lo"] == dim_row["hi"]
+        else None
+    )
     if dim is not None:
         withn = asg.withColumn("_n", F.sqrt(flat_dot("v", "v", dim)))
         a = withn.select(
@@ -656,7 +738,7 @@ def semdedup(
             "cluster_id",
         )
         cs = flat_dot("v_lo", "v_hi", dim) / (F.col("n_lo") * F.col("n_hi"))
-    else:  # empty input: shape-only plan, the HOF form never evaluates
+    else:  # empty input (shape-only plan) or ragged widths: fold cosine
         a = asg.select(
             F.col("id").alias("id_lo"), F.col("v").alias("v_lo"), "cluster_id"
         )

@@ -566,8 +566,55 @@ FROM runs GROUP BY user_id
 
 #: edge-count bound below which copurchase_triangles uses the broadcast
 #: array-intersect edge-iterator; above it, the shuffled degree-ordered
-#: wedge join (module-level so tests can force the scale-out path)
-TRIANGLES_ARRAY_PATH_MAX_EDGES = 32_000_000
+#: wedge join (module-level so tests can force the scale-out path; the
+#: env override exists so the scale rehearsal can force it through
+#: tools/time_queries.py without a code edit)
+TRIANGLES_ARRAY_PATH_MAX_EDGES = int(
+    __import__("os").environ.get("TRIANGLES_ARRAY_PATH_MAX_EDGES", 32_000_000)
+)
+
+#: in-shuffle footprint of one projected wedge row (two BIGINT node ids +
+#: UnsafeRow header/null bits + shuffle record overhead)
+WEDGE_ROW_BYTES = 48
+
+#: per-partition budget for the wedge exchange — small enough that one
+#: reducer's slice of the wedge stream is always execution-memory-resident
+#: on a 32-thread local JVM AND far under DEPLOY.md's 1-2 GB/partition
+#: cluster ceiling
+WEDGE_TARGET_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def _wedge_partitions(spark: SparkSession, deg: DataFrame, n_edges: int) -> int:
+    """Shuffle-partition count for the wedge exchange, sized from the
+    graph itself instead of inherited from the suite default.
+
+    The degree-ordered orientation bounds every out-degree by √(2m), so
+    Σ C(min(deg, √(2m)), 2) over the (already persisted, node-cardinality)
+    degree table upper-bounds the materialized wedge volume — one tiny agg
+    on cached data, no pass over edges.  The count clamps to
+    [session default, 4096]: never fewer partitions than the suite runs
+    with, never so many that task overhead dominates (4096 × 128 MB ≈
+    0.5 TB of in-flight wedges, past which AQE skew-split is the tool).
+
+    Why it exists: the round-6 100× rehearsal measured the wedge stream
+    super-linear (16-24× on 10× data) when 10× wedge volume funneled
+    through the 32 fixed local shuffle partitions and spilled
+    (BENCH_SF10.md) — the partition count must follow wedge volume, not
+    core count."""
+    import math
+
+    cap = math.isqrt(max(2 * n_edges, 0)) + 1
+    row = deg.agg(
+        F.sum(
+            F.expr(
+                f"CAST(least(deg, {cap}) * (least(deg, {cap}) - 1) / 2 AS BIGINT)"
+            )
+        ).alias("w")
+    ).first()
+    bound = int(row["w"] or 0)
+    default = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    need = -(-bound * WEDGE_ROW_BYTES // WEDGE_TARGET_PARTITION_BYTES)
+    return max(default, min(4096, int(need)))
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -715,6 +762,20 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # node-keyed equi-join, AQE splits skewed wedge partitions.  (The
         # array path above would put a celebrity node's whole
         # in-neighborhood in one row — fine below the bound, not at 100×.)
+        #
+        # Round-7 rework of the wedge exchange (closes the r6 `weak`):
+        # (a) the closing semi join is a SHUFFLED HASH join with the edge
+        #     list as build side — the wedge stream (the only data-volume²
+        #     artifact in the suite) is probed, never sorted, so the
+        #     sort-merge spill that made the 100× rehearsal super-linear
+        #     (and the UnsafeSorter it crashed in) is out of the plan
+        #     entirely;
+        # (b) its partition count comes from the wedge-volume bound
+        #     (_wedge_partitions), not the suite default — per-partition
+        #     wedge bytes stay flat as the graph grows on fixed cores;
+        # (c) the wedge rows are projected to the two closing node ids
+        #     BEFORE the exchange, so the shuffle moves 16-byte payloads,
+        #     not the (kv, kw) orientation structs.
         ka = F.struct(F.col("da").alias("d"), F.col("pa").alias("n"))
         kb = F.struct(F.col("db").alias("d"), F.col("pb").alias("n"))
         oriented = ed.select(
@@ -726,13 +787,18 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("u").alias("u2"), F.col("v").alias("w"), F.col("kv").alias("kw")
         )
         e3 = oriented.select(F.col("u").alias("ra"), F.col("v").alias("rb"))
-        tri = (
+        nwp = _wedge_partitions(spark, deg, ne)
+        wedge = (
             oriented.join(
                 o2, (F.col("u") == F.col("u2")) & (F.col("kv") < F.col("kw"))
             )
-            .join(
-                e3,
-                (F.col("v") == F.col("ra")) & (F.col("w") == F.col("rb")),
+            .select(F.col("v").alias("wa"), F.col("w").alias("wb"))
+            .repartition(nwp, "wa", "wb")
+        )
+        tri = (
+            wedge.join(
+                e3.hint("shuffle_hash"),
+                (F.col("wa") == F.col("ra")) & (F.col("wb") == F.col("rb")),
                 "left_semi",
             )
             .agg(F.count(F.lit(1)).alias("n_triangles"))

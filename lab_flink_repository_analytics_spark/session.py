@@ -150,6 +150,30 @@ def get_spark(
             "SPARK_DRIVER_MEMORY", f"{_default_driver_memory_gb()}g"
         )
         builder = builder.config("spark.driver.memory", mem)
+    if master.startswith("local-cluster"):
+        # Real multi-executor shuffle without a cluster (the round-7 wedge
+        # rehearsal's master: separate worker JVMs, network shuffle,
+        # per-executor memory).  local-cluster[n,cores,memMB] sets the
+        # WORKER's memory only — spark.executor.memory still defaults to
+        # 1g and must be raised to use it; the executor JVMs also need the
+        # huge-method JIT flags (codegen compiles executor-side here, not
+        # in the driver) and the repo on PYTHONPATH for Arrow workers.
+        exec_conf = extra_conf or {}
+        if "spark.executor.memory" not in exec_conf:
+            builder = builder.config(
+                "spark.executor.memory",
+                os.environ.get("SPARK_EXECUTOR_MEMORY", "6g"),
+            )
+        if "spark.executor.extraJavaOptions" not in exec_conf:
+            builder = builder.config(
+                "spark.executor.extraJavaOptions",
+                os.environ.get(
+                    "SPARK_GRAFT_JAVA_OPTS",
+                    "-XX:-DontCompileHugeMethods"
+                    " -XX:ReservedCodeCacheSize=512m",
+                ),
+            )
+        builder = builder.config("spark.executorEnv.PYTHONPATH", pkg_root)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

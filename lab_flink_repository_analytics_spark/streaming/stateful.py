@@ -397,3 +397,44 @@ def quota_fill_stream(docs: DataFrame, quotas: dict) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def windowed_dedup_stream(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    window: str = "1 hour",
+    delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``datapipe.dedup.windowed_dedup``: keep the first
+    event per key per tumbling event-time window.
+
+    Deliberately ZERO custom state code — the engine-managed path: bucket
+    to the tumbling window (as a plain epoch-seconds start, so the raw
+    event-time column stays the stream's ONE event-time attribute),
+    watermark by ``delay``, and ``dropDuplicatesWithinWatermark`` over
+    (window_start, keys).  The state store holds one entry per live
+    (window, key) group and the watermark evicts a group once it passes
+    the group's first event time + ``delay`` — bounded state at any
+    scale, exactly the managed analog of the reference's keyed source
+    checkpointing (GithubCommitSource.java:148-166: progress state lives
+    with the engine, not the operator).
+
+    Parity contract with the batch twin (smallest (ts, order) per group):
+    streaming dedup keeps the first ARRIVAL, so the two agree whenever
+    events arrive in event-time order per key — the keyed-stream contract
+    shared by ``ewma_stream``/``quota_fill_stream`` and the reference's
+    accumulator semantics.  ``delay`` must be ≥ the window size so a
+    window that straddles a micro-batch boundary still has live state
+    when its remaining rows arrive.  Append-mode output: admitted rows
+    emit in their own batch (dedup never waits for the watermark to
+    emit, only to evict)."""
+    wstart = F.unix_timestamp(
+        F.window(F.col(ts_col), window).getField("start")
+    )
+    return (
+        df.withWatermark(ts_col, delay)
+        .withColumn("__wstart", wstart)
+        .dropDuplicatesWithinWatermark(["__wstart", *key_cols])
+        .drop("__wstart")
+    )

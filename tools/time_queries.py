@@ -58,6 +58,30 @@ from lab_flink_repository_analytics_spark.session import (
 )
 
 
+def _foreign_spark_jvms() -> list[str]:
+    """Pre-flight guard: any ALREADY-RUNNING Spark JVM on this host (we
+    have not started ours yet) shares its CPUs and page cache with the
+    measurement and silently contaminates it — the round-6 artifact had
+    to re-time 11 queries post-hoc after a leftover sf10 JVM overlapped
+    the first pass (BENCH_SEQ_r06.json ``remeasured``).  Refusing up
+    front replaces that escape hatch."""
+    hits = []
+    me = os.getpid()
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit() or int(pid) == me:
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read().decode("utf-8", "replace").replace("\0", " ")
+        except OSError:
+            continue
+        if "java" in cmd.split(" ", 1)[0].rsplit("/", 1)[-1] and (
+            "org.apache.spark" in cmd or "spark-submit" in cmd
+        ):
+            hits.append(f"{pid}: {cmd[:140].strip()}")
+    return hits
+
+
 def _reset(spark):
     """Cold-mode reset: no cross-rep state survives — including dead
     localCheckpoint blocks, which the slot/memo teardown cannot reach
@@ -83,11 +107,31 @@ def main():
     ap.add_argument(
         "--max-warmups", type=int, default=5,
         help="warm-up ceiling if convergence is never reached")
+    ap.add_argument(
+        "--allow-foreign-jvm", action="store_true",
+        help="measure anyway when another Spark JVM is alive (the run is "
+        "TAGGED as contaminated in the artifact instead of refused)")
     args = ap.parse_args()
+
+    foreign = _foreign_spark_jvms()
+    if foreign and not args.allow_foreign_jvm:
+        print(
+            "REFUSING to measure: foreign Spark JVM(s) alive — kill them "
+            "or pass --allow-foreign-jvm to tag-and-proceed:\n  "
+            + "\n  ".join(foreign),
+            file=sys.stderr,
+        )
+        sys.exit(2)
 
     spark = get_spark(app_name="time-queries")
     qs = suite.queries()
-    out = {"mode": args.mode, "reps": args.reps, "sf": args.sf, "queries": {}}
+    out = {
+        "mode": args.mode,
+        "reps": args.reps,
+        "sf": args.sf,
+        "preflight": {"foreign_jvms": foreign, "clean": not foreign},
+        "queries": {},
+    }
     WARM_TOL = 0.25  # stop warming once run N is within 25% of run N-1
     for name in args.queries:
         fn = qs[name]
