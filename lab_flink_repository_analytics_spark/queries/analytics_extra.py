@@ -573,28 +573,38 @@ TRIANGLES_ARRAY_PATH_MAX_EDGES = int(
     __import__("os").environ.get("TRIANGLES_ARRAY_PATH_MAX_EDGES", 32_000_000)
 )
 
-#: in-shuffle footprint of one projected wedge row (two BIGINT node ids +
-#: UnsafeRow header/null bits + shuffle record overhead)
-WEDGE_ROW_BYTES = 48
+#: serialized shuffle footprint of one projected wedge row (two BIGINT
+#: node ids + record overhead, pre-compression).  The wedge stream is
+#: PROBED, never sorted (shuffled-hash closure), so this models shuffle
+#: read volume, not an in-memory sort footprint.
+WEDGE_ROW_BYTES = 16
 
-#: per-partition budget for the wedge exchange — small enough that one
-#: reducer's slice of the wedge stream is always execution-memory-resident
-#: on a 32-thread local JVM AND far under DEPLOY.md's 1-2 GB/partition
-#: cluster ceiling
+#: per-partition shuffle-read budget for the wedge exchange — far under
+#: DEPLOY.md's 1-2 GB/partition ceiling; probes stream, so the budget
+#: governs task granularity/AQE balance, not memory survival
 WEDGE_TARGET_PARTITION_BYTES = 128 * 1024 * 1024
 
+#: wedge-exchange partition ceiling: per-partition probe volume is what
+#: matters and it stays small well below this; past it, task overhead
+#: dominates on any realistic executor count
+WEDGE_MAX_PARTITIONS = 1024
 
-def _wedge_partitions(spark: SparkSession, deg: DataFrame, n_edges: int) -> int:
-    """Shuffle-partition count for the wedge exchange, sized from the
-    graph itself instead of inherited from the suite default.
+
+def _wedge_partitions(
+    spark: SparkSession, deg: DataFrame, n_edges: int
+) -> tuple:
+    """(shuffle-partition count, max node id) for the wedge exchange —
+    both straight off the persisted degree table in ONE tiny agg.
 
     The degree-ordered orientation bounds every out-degree by √(2m), so
     Σ C(min(deg, √(2m)), 2) over the (already persisted, node-cardinality)
-    degree table upper-bounds the materialized wedge volume — one tiny agg
-    on cached data, no pass over edges.  The count clamps to
-    [session default, 4096]: never fewer partitions than the suite runs
-    with, never so many that task overhead dominates (4096 × 128 MB ≈
-    0.5 TB of in-flight wedges, past which AQE skew-split is the tool).
+    degree table upper-bounds the materialized wedge volume — no pass
+    over edges.  The count clamps to [session default,
+    WEDGE_MAX_PARTITIONS]: never fewer partitions than the suite runs
+    with, never so many that task overhead dominates.  The max node id
+    decides whether the closing (v, w) pair can be PACKED into one
+    BIGINT (v << 32 | w) — a 33% cut of the wedge stream's shuffle bytes
+    and a single-long join key.
 
     Why it exists: the round-6 100× rehearsal measured the wedge stream
     super-linear (16-24× on 10× data) when 10× wedge volume funneled
@@ -609,12 +619,14 @@ def _wedge_partitions(spark: SparkSession, deg: DataFrame, n_edges: int) -> int:
             F.expr(
                 f"CAST(least(deg, {cap}) * (least(deg, {cap}) - 1) / 2 AS BIGINT)"
             )
-        ).alias("w")
+        ).alias("w"),
+        F.max("node").alias("mx"),
     ).first()
     bound = int(row["w"] or 0)
+    max_node = int(row["mx"]) if row["mx"] is not None else 0
     default = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     need = -(-bound * WEDGE_ROW_BYTES // WEDGE_TARGET_PARTITION_BYTES)
-    return max(default, min(4096, int(need)))
+    return max(default, min(WEDGE_MAX_PARTITIONS, int(need))), max_node
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -766,16 +778,23 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Round-7 rework of the wedge exchange (closes the r6 `weak`):
         # (a) the closing semi join is a SHUFFLED HASH join with the edge
         #     list as build side — the wedge stream (the only data-volume²
-        #     artifact in the suite) is probed, never sorted, so the
+        #     artifact in the suite) is probed, NEVER sorted, so the
         #     sort-merge spill that made the 100× rehearsal super-linear
-        #     (and the UnsafeSorter it crashed in) is out of the plan
-        #     entirely;
-        # (b) its partition count comes from the wedge-volume bound
-        #     (_wedge_partitions), not the suite default — per-partition
-        #     wedge bytes stay flat as the graph grows on fixed cores;
-        # (c) the wedge rows are projected to the two closing node ids
-        #     BEFORE the exchange, so the shuffle moves 16-byte payloads,
-        #     not the (kv, kw) orientation structs.
+        #     (and the UnsafeSorter it crashed in) is out of the plan;
+        # (b) its partition count comes from the degree-table wedge-volume
+        #     bound (_wedge_partitions), not the suite default — probe
+        #     granularity follows the graph, not the session;
+        # (c) the wedge rows project to the closing pair BEFORE the
+        #     exchange — packed into one bigint when node ids fit 31
+        #     bits (checked off the degree table), two longs otherwise —
+        #     never the orientation structs.
+        # Measured and rejected alternative (r7): collapsing the wedge
+        # multiset to distinct (v, w) pairs with counts via a map-side
+        # partial agg before the exchange — on this graph the wedge
+        # multiplicity is only ~1.26 (411M out-wedges → 327M distinct
+        # pairs at the 10× replica), so the hash agg tripled sf1 latency
+        # (18.9s → 63s) for a ~21% byte cut.  Combine only pays when
+        # duplicate mass is real; here it is not.
         ka = F.struct(F.col("da").alias("d"), F.col("pa").alias("n"))
         kb = F.struct(F.col("db").alias("d"), F.col("pb").alias("n"))
         oriented = ed.select(
@@ -787,21 +806,42 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("u").alias("u2"), F.col("v").alias("w"), F.col("kv").alias("kw")
         )
         e3 = oriented.select(F.col("u").alias("ra"), F.col("v").alias("rb"))
-        nwp = _wedge_partitions(spark, deg, ne)
-        wedge = (
-            oriented.join(
-                o2, (F.col("u") == F.col("u2")) & (F.col("kv") < F.col("kw"))
-            )
-            .select(F.col("v").alias("wa"), F.col("w").alias("wb"))
-            .repartition(nwp, "wa", "wb")
+        nwp, max_node = _wedge_partitions(spark, deg, ne)
+        joined = oriented.join(
+            o2, (F.col("u") == F.col("u2")) & (F.col("kv") < F.col("kw"))
         )
-        tri = (
-            wedge.join(
-                e3.hint("shuffle_hash"),
-                (F.col("wa") == F.col("ra")) & (F.col("wb") == F.col("rb")),
-                "left_semi",
+        if 0 <= max_node < (1 << 31):
+            # pack the closing pair into ONE bigint: the wedge stream is
+            # the dominant shuffle of the whole suite (measured ~44+ GB
+            # at the 100× replica), so a 24-byte (v, w) UnsafeRow
+            # becoming a 16-byte single-long row is a direct ~33% cut of
+            # shuffle write+read, and the closure joins on one long
+            # (LongHashedRelation build instead of a generic row hash).
+            wedge = joined.select(
+                (F.shiftleft(F.col("v"), 32) + F.col("w")).alias("vw")
             )
-            .agg(F.count(F.lit(1)).alias("n_triangles"))
+            e3k = e3.select(
+                (F.shiftleft(F.col("ra"), 32) + F.col("rb")).alias("rab")
+            )
+            cond = F.col("vw") == F.col("rab")
+            keys = ["rab"]
+        else:  # node ids beyond 31 bits: keep the two-column form
+            wedge = joined.select(F.col("v").alias("wa"), F.col("w").alias("wb"))
+            e3k = e3.select("ra", "rb")
+            cond = (F.col("wa") == F.col("ra")) & (F.col("wb") == F.col("rb"))
+            keys = ["ra", "rb"]
+        # the partition count rides the BUILD side: a repartition on the
+        # wedge (probe) side gets separated from the join by
+        # PushDownLeftSemiAntiJoin — the optimizer pushes the semi join
+        # below a left-side Repartition, leaving the join at the session
+        # default with data-scale hash builds (observed: 3.75M-row builds
+        # OOM-ing 6g executors at the 100× replica) and the user exchange
+        # stranded above the join.  The rule never reorders the RIGHT
+        # side, so pinning e3's partitioning forces the probe side to
+        # conform at nwp via EnsureRequirements.
+        e3r = e3k.repartition(nwp, *keys).hint("shuffle_hash")
+        tri = wedge.join(e3r, cond, "left_semi").agg(
+            F.count(F.lit(1)).alias("n_triangles")
         )
     return (
         spark.range(1)

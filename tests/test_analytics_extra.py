@@ -228,3 +228,31 @@ def test_quota_fill_reaches_quota_or_exhausts_source(spark, sf_dir):
             # reaches the quota but no doc beyond the boundary is taken
             assert r["n_tokens_selected"] >= r["token_quota"], r
             assert r["n_docs_selected"] < docs, r
+
+
+def test_wedge_partitions_scale_with_volume_bound(spark):
+    # the wedge exchange must size itself from the graph (degree-table
+    # volume bound), clamped to [session default, WEDGE_MAX_PARTITIONS]
+    from lab_flink_repository_analytics_spark.queries import analytics_extra as AX
+
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # tiny graph: bound under one partition budget -> session default
+    deg_small = spark.createDataFrame(
+        [(i, 3) for i in range(10)], "node long, deg int"
+    )
+    n, mx = AX._wedge_partitions(spark, deg_small, 15)
+    assert n == default and mx == 9
+    # one hub of degree 1e6 with cap sqrt(2m): bound = C(min(1e6, cap), 2)
+    m = 2_000_000
+    deg_big = spark.createDataFrame([(0, 1_000_000)], "node long, deg int")
+    n, mx = AX._wedge_partitions(spark, deg_big, m)
+    import math
+    cap = math.isqrt(2 * m) + 1
+    bound = cap * (cap - 1) // 2
+    want = -(-bound * AX.WEDGE_ROW_BYTES // AX.WEDGE_TARGET_PARTITION_BYTES)
+    assert n == max(default, min(AX.WEDGE_MAX_PARTITIONS, want))
+    assert mx == 0
+    # degenerate empty degree table
+    deg_empty = spark.createDataFrame([], "node long, deg int")
+    n, mx = AX._wedge_partitions(spark, deg_empty, 0)
+    assert n == default and mx == 0

@@ -227,6 +227,12 @@ def test_triangles_scale_path_shuffles_closing_join(spark, sf_dir, monkeypatch):
     # the only BroadcastHashJoins allowed are the degree-table orientation
     # joins and none may build the closing LeftSemi side
     assert "BroadcastHashJoin" not in plan.split("LeftSemi")[0].splitlines()[-1]
+    # round-7 shape: the closure is a SHUFFLED-HASH semi join — the wedge
+    # stream (the only data-volume² artifact in the suite) is probed,
+    # never sorted (the r6 sort-merge form spilled super-linearly at the
+    # 100× replica, BENCH_SF10.md)
+    semi_line = next(ln for ln in plan.splitlines() if "LeftSemi" in ln)
+    assert "ShuffledHashJoin" in semi_line, semi_line
 
 
 def test_bigram_hybrid_has_broadcast_head_and_shuffled_tail(spark, sf_dir):

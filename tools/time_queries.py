@@ -86,11 +86,24 @@ def _reset(spark):
     """Cold-mode reset: no cross-rep state survives — including dead
     localCheckpoint blocks, which the slot/memo teardown cannot reach
     (they are freed by GC + ContextCleaner, which loses the race at big
-    scale factors and OOMs the next query)."""
+    scale factors and OOMs the next query).  SHUFFLE FILES are likewise
+    cleaner-freed: a rep that writes tens of GB of shuffle (the wedge
+    rehearsal: ~44 GB/execution) fills the disk if the previous rep's
+    files are still awaiting GC — so force a full Python+JVM GC cycle
+    and give the ContextCleaner a beat to process the queue."""
+    import gc
+    import time as _t
+
     release_persist_slots()
     reset_derived_state()
     spark.catalog.clearCache()
     sweep_persistent_rdds(spark)
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+    _t.sleep(2)
 
 
 def main():
