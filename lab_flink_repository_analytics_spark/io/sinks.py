@@ -35,6 +35,15 @@ def upsert_by_key(
     At scale this should be Delta/Iceberg ``MERGE INTO`` keyed the same
     way (or partition-overwrite when updates align to partitions); the
     rewrite here is the dependency-free fallback.
+
+    Cost bound (measured, tools/bench_upsert.py at the sf1 replica —
+    BENCH_SF10.md "upsert_by_key at replica scale"): each call rewrites
+    the FULL existing dataset, so cost is O(existing ∪ update) — ~1-2s
+    at 400k window-summary rows, linear beyond.  Intended for
+    window-summary-sized datasets (the reference's ES index held one doc
+    per (component, windowStart) — thousands of rows); past ~10M rows /
+    ~1 GB prefer :func:`apply_changelog` (delta-driven) with
+    partition-aligned overwrite, or a transactional MERGE.
     """
     updates = updates.withColumn("_is_update", F.lit(1))
     if _exists(spark, path):

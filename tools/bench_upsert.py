@@ -39,7 +39,9 @@ def _dataset_hash(spark, path: str) -> tuple[int, int]:
     df = spark.read.parquet(path)
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64(*sorted(df.columns))).alias("h"),
+        # decimal ring: a plain BIGINT sum of xxhash64 overflows under
+        # ANSI mode; decimal(38,0) absorbs any row count this sees
+        F.sum(F.xxhash64(*sorted(df.columns)).cast("decimal(38,0)")).alias("h"),
     ).first()
     return int(row["n"]), int(row["h"] or 0)
 

@@ -182,6 +182,10 @@ def main():
         print(f"{name}: min={min(runs)} median={out['queries'][name]['median']} "
               f"max={max(runs)} ({args.mode})", file=sys.stderr)
     print(json.dumps(out))
+    # tear the JVM down promptly: back-to-back invocations otherwise find
+    # the previous run's gateway JVM still draining its shutdown hooks
+    # and (correctly) refuse at pre-flight
+    spark.stop()
 
 
 if __name__ == "__main__":
