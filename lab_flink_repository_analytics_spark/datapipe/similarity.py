@@ -675,9 +675,12 @@ def semdedup(
     a flat-argmax SemDeDup).  This is the standard IVF recall trade
     (Abbas et al. cluster with exactly such a coarse quantizer); the
     routed-vs-flat divergence is QUANTIFIED, not defined away — pinned by
-    tests/test_datapipe.py::
-    test_hierarchical_routed_vs_flat_divergence_quantified.  Below the
-    gate (≤ 64 lists) the assignment is bit-exactly the flat argmax.
+    tests/test_datapipe.py two ways: an agreement LOWER bound on a
+    realistic corpus (test_hierarchical_routed_vs_flat_divergence_
+    quantified) and a constructed super-boundary crossing where routed
+    and flat MUST differ (test_hierarchical_routing_actually_diverges).
+    Below the gate (≤ 64 lists) the assignment is bit-exactly the flat
+    argmax.
 
     Ragged embedding widths: pair cosines NULL out (zip_with pads the
     shorter array), so differing-width vectors are never near-dups; the

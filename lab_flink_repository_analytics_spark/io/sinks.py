@@ -44,7 +44,20 @@ def upsert_by_key(
     per (component, windowStart) — thousands of rows); past ~10M rows /
     ~1 GB prefer :func:`apply_changelog` (delta-driven) with
     partition-aligned overwrite, or a transactional MERGE.
+
+    Crash safety (round-8 rework): the merged result is written ONCE to
+    ``path._tmp`` while the live dataset is still being read, then swapped
+    in by two FileSystem renames (``path``→``path._old``,
+    ``path._tmp``→``path``).  Every crash window leaves a complete copy
+    recoverable by :func:`_recover_swap`, which both merge entry points
+    run first — a crash between the renames leaves ``._tmp`` (complete,
+    ``_SUCCESS``-marked) as the new state; a crash during the tmp write
+    leaves ``path`` untouched.  Renames are atomic on HDFS/local file
+    systems; on S3-style object stores (copy-based rename) use a
+    transactional table format instead — same advice as the scale note
+    above.
     """
+    _recover_swap(spark, path)
     updates = updates.withColumn("_is_update", F.lit(1))
     if _exists(spark, path):
         existing = spark.read.parquet(path).withColumn("_is_update", F.lit(0))
@@ -60,12 +73,7 @@ def upsert_by_key(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_is_update")
     )
-    # write to a temp dir then swap — the source partitions are being read
-    tmp = path.rstrip("/") + "._tmp"
-    result.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(path)
-    _rm(spark, tmp)
+    _swap_in(spark, result, path)
 
 
 def apply_changelog(
@@ -89,6 +97,7 @@ def apply_changelog(
     transactional equivalent.
     """
     kc = F.col(kind_col)
+    _recover_swap(spark, path)
     ups = deltas.filter(kc.isin("+I", "+U")).drop(kind_col)
     dels = deltas.filter(kc == "-D").select(*key_cols).distinct()
     if _exists(spark, path):
@@ -109,10 +118,70 @@ def apply_changelog(
         )
     else:
         result = ups
-    tmp = path.rstrip("/") + "._tmp"
-    result.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
-    _rm(spark, tmp)
+    _swap_in(spark, result, path)
+
+
+def _swap_in(spark: SparkSession, result: DataFrame, path: str) -> None:
+    """Materialize ``result`` (which may lazily read from ``path``) and
+    swap it into place via renames, never a second data write.
+
+    Order of operations and the crash window each step leaves:
+
+    1. drop stale ``._tmp``/``._old`` survivors of an earlier crash
+       (after :func:`_recover_swap` has already salvaged any complete one)
+    2. write the full result to ``path._tmp`` — crash here leaves ``path``
+       untouched and an incomplete ``._tmp`` (no ``_SUCCESS``) that step 1
+       of the next call removes
+    3. rename ``path`` → ``path._old`` — crash here (or between 3 and 4)
+       leaves ``._tmp`` complete + ``_SUCCESS``-marked; recovery renames
+       it into place (the merge had fully committed, so finishing the
+       swap, not rolling back, preserves idempotent re-delivery)
+    4. rename ``path._tmp`` → ``path`` — crash after leaves only a stale
+       ``._old`` to garbage-collect
+
+    The two renames are metadata-only on HDFS and local file systems;
+    total data written per merge is exactly one copy of the result (the
+    pre-round-8 version wrote it twice: tmp, then read-tmp-write-path).
+    """
+    base = path.rstrip("/")
+    tmp_s, old_s = base + "._tmp", base + "._old"
+    _rm(spark, tmp_s)
+    _rm(spark, old_s)
+    result.write.mode("overwrite").parquet(tmp_s)
+    fs, hpath = _hadoop_fs(spark, path)
+    jvm = spark._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(tmp_s)
+    old = jvm.org.apache.hadoop.fs.Path(old_s)
+    if fs.exists(hpath):
+        fs.rename(hpath, old)
+    fs.rename(tmp, hpath)
+    _rm(spark, old_s)
+
+
+def _recover_swap(spark: SparkSession, path: str) -> None:
+    """Salvage a crashed :func:`_swap_in`: if ``path`` is missing/empty
+    but a COMPLETE ``path._tmp`` (``_SUCCESS`` present) or the displaced
+    ``path._old`` exists, rename the best copy back into place.  A
+    ``._tmp`` without ``_SUCCESS`` is an aborted write and is ignored
+    (then deleted by the next swap's step 1).  No-op in the common case —
+    one ``exists`` call when ``path`` is healthy."""
+    fs, hpath = _hadoop_fs(spark, path)
+    if fs.exists(hpath) and len(fs.listStatus(hpath)) > 0:
+        return
+    jvm = spark._jvm
+    base = path.rstrip("/")
+    tmp = jvm.org.apache.hadoop.fs.Path(base + "._tmp")
+    old = jvm.org.apache.hadoop.fs.Path(base + "._old")
+    success = jvm.org.apache.hadoop.fs.Path(base + "._tmp/_SUCCESS")
+    src = None
+    if fs.exists(tmp) and fs.exists(success):
+        src = tmp  # merge committed: finish the interrupted swap
+    elif fs.exists(old):
+        src = old  # tmp incomplete/gone: roll back to the prior state
+    if src is not None:
+        if fs.exists(hpath):
+            fs.delete(hpath, True)
+        fs.rename(src, hpath)
 
 
 def _hadoop_fs(spark: SparkSession, path: str):

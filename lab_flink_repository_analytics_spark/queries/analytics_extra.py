@@ -24,6 +24,8 @@ division, round(x, 6) on derived scores.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -569,9 +571,19 @@ FROM runs GROUP BY user_id
 #: wedge join (module-level so tests can force the scale-out path; the
 #: env override exists so the scale rehearsal can force it through
 #: tools/time_queries.py without a code edit)
-TRIANGLES_ARRAY_PATH_MAX_EDGES = int(
-    __import__("os").environ.get("TRIANGLES_ARRAY_PATH_MAX_EDGES", 32_000_000)
-)
+try:
+    TRIANGLES_ARRAY_PATH_MAX_EDGES = int(
+        os.environ.get("TRIANGLES_ARRAY_PATH_MAX_EDGES", 32_000_000)
+    )
+except ValueError:  # malformed env must not break every package import
+    import warnings
+
+    warnings.warn(
+        "ignoring malformed TRIANGLES_ARRAY_PATH_MAX_EDGES="
+        f"{os.environ['TRIANGLES_ARRAY_PATH_MAX_EDGES']!r}; using default",
+        stacklevel=1,
+    )
+    TRIANGLES_ARRAY_PATH_MAX_EDGES = 32_000_000
 
 #: serialized shuffle footprint of one projected wedge row (two BIGINT
 #: node ids + record overhead, pre-compression).  The wedge stream is
@@ -593,7 +605,7 @@ WEDGE_MAX_PARTITIONS = 1024
 def _wedge_partitions(
     spark: SparkSession, deg: DataFrame, n_edges: int
 ) -> tuple:
-    """(shuffle-partition count, max node id) for the wedge exchange —
+    """(shuffle-partition count, packable flag) for the wedge exchange —
     both straight off the persisted degree table in ONE tiny agg.
 
     The degree-ordered orientation bounds every out-degree by √(2m), so
@@ -601,10 +613,11 @@ def _wedge_partitions(
     degree table upper-bounds the materialized wedge volume — no pass
     over edges.  The count clamps to [session default,
     WEDGE_MAX_PARTITIONS]: never fewer partitions than the suite runs
-    with, never so many that task overhead dominates.  The max node id
-    decides whether the closing (v, w) pair can be PACKED into one
-    BIGINT (v << 32 | w) — a 33% cut of the wedge stream's shuffle bytes
-    and a single-long join key.
+    with, never so many that task overhead dominates.  The node-id RANGE
+    (min AND max — a negative id would collide under the shift) decides
+    whether the closing (v, w) pair can be PACKED into one BIGINT
+    (v << 32 | w) — a 33% cut of the wedge stream's shuffle bytes and a
+    single-long join key.
 
     Why it exists: the round-6 100× rehearsal measured the wedge stream
     super-linear (16-24× on 10× data) when 10× wedge volume funneled
@@ -621,12 +634,18 @@ def _wedge_partitions(
             )
         ).alias("w"),
         F.max("node").alias("mx"),
+        F.min("node").alias("mn"),
     ).first()
     bound = int(row["w"] or 0)
     max_node = int(row["mx"]) if row["mx"] is not None else 0
+    min_node = int(row["mn"]) if row["mn"] is not None else 0
     default = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     need = -(-bound * WEDGE_ROW_BYTES // WEDGE_TARGET_PARTITION_BYTES)
-    return max(default, min(WEDGE_MAX_PARTITIONS, int(need))), max_node
+    # pack (v, w) into one BIGINT only when EVERY node id fits 31 unsigned
+    # bits — a negative id with a non-negative max would pack to colliding
+    # keys and silently corrupt the count, so min must be checked too
+    packable = 0 <= min_node and max_node < (1 << 31)
+    return max(default, min(WEDGE_MAX_PARTITIONS, int(need))), packable
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -806,11 +825,11 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("u").alias("u2"), F.col("v").alias("w"), F.col("kv").alias("kw")
         )
         e3 = oriented.select(F.col("u").alias("ra"), F.col("v").alias("rb"))
-        nwp, max_node = _wedge_partitions(spark, deg, ne)
+        nwp, packable = _wedge_partitions(spark, deg, ne)
         joined = oriented.join(
             o2, (F.col("u") == F.col("u2")) & (F.col("kv") < F.col("kw"))
         )
-        if 0 <= max_node < (1 << 31):
+        if packable:
             # pack the closing pair into ONE bigint: the wedge stream is
             # the dominant shuffle of the whole suite (measured ~44+ GB
             # at the 100× replica), so a 24-byte (v, w) UnsafeRow

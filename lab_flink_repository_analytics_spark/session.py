@@ -173,7 +173,8 @@ def get_spark(
                     " -XX:ReservedCodeCacheSize=512m",
                 ),
             )
-        builder = builder.config("spark.executorEnv.PYTHONPATH", pkg_root)
+        if "spark.executorEnv.PYTHONPATH" not in exec_conf:
+            builder = builder.config("spark.executorEnv.PYTHONPATH", pkg_root)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -240,8 +240,8 @@ def test_wedge_partitions_scale_with_volume_bound(spark):
     deg_small = spark.createDataFrame(
         [(i, 3) for i in range(10)], "node long, deg int"
     )
-    n, mx = AX._wedge_partitions(spark, deg_small, 15)
-    assert n == default and mx == 9
+    n, packable = AX._wedge_partitions(spark, deg_small, 15)
+    assert n == default and packable
     # one hub of degree 1e6 with cap sqrt(2m): bound = C(min(1e6, cap), 2)
     m = 2_000_000
     deg_big = spark.createDataFrame([(0, 1_000_000)], "node long, deg int")
@@ -251,8 +251,21 @@ def test_wedge_partitions_scale_with_volume_bound(spark):
     bound = cap * (cap - 1) // 2
     want = -(-bound * AX.WEDGE_ROW_BYTES // AX.WEDGE_TARGET_PARTITION_BYTES)
     assert n == max(default, min(AX.WEDGE_MAX_PARTITIONS, want))
-    assert mx == 0
+    assert packable
     # degenerate empty degree table
     deg_empty = spark.createDataFrame([], "node long, deg int")
-    n, mx = AX._wedge_partitions(spark, deg_empty, 0)
-    assert n == default and mx == 0
+    n, packable = AX._wedge_partitions(spark, deg_empty, 0)
+    assert n == default and packable
+    # a NEGATIVE node id must disable packing even when max(node) fits
+    # 31 bits — (v<<32)+w collides for negative v (advisor r7)
+    deg_neg = spark.createDataFrame(
+        [(-1, 2), (5, 2)], "node long, deg int"
+    )
+    n, packable = AX._wedge_partitions(spark, deg_neg, 3)
+    assert not packable
+    # and a node id past 2^31 likewise
+    deg_wide = spark.createDataFrame(
+        [(1 << 31, 2)], "node long, deg int"
+    )
+    n, packable = AX._wedge_partitions(spark, deg_wide, 3)
+    assert not packable

@@ -1042,7 +1042,45 @@ def test_hierarchical_routed_vs_flat_divergence_quantified(spark):
     agree = sum(1 for i in flat if flat[i] == routed[i])
     frac = agree / len(flat)
     assert frac >= 0.7, f"routed assignment degraded too far: {frac:.3f}"
-    assert frac < 1.0 or True  # corpus-dependent; the bound above is the gate
+    # NOTE: this corpus happens to agree everywhere (measured frac = 1.0);
+    # the actual disagreement half of the approximation claim is pinned by
+    # test_hierarchical_routing_actually_diverges below on a corpus
+    # CONSTRUCTED to cross super boundaries.
+
+
+def test_hierarchical_routing_actually_diverges(spark):
+    # constructed divergence (advisor r7: the old `frac < 1.0 or True`
+    # clause was vacuous): 2-D unit vectors by angle — centroids at 0°
+    # (super), 90° (super) and 40°; the 40° centroid routes to the 0°
+    # super (cos 40° > cos 50°), so a VECTOR at 50° routes to the 90°
+    # super whose bucket holds only the 90° centroid, while its flat
+    # nearest centroid is the 40° one.  The routed result MUST differ
+    # from the flat argmax on that vector — the approximation is real,
+    # measured, and not defined away by the oracle.
+    import math
+
+    def ang(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    cdf = spark.createDataFrame(
+        [(0, ang(0)), (1, ang(90)), (2, ang(40))],
+        "cid bigint, cv array<double>",
+    )
+    df = spark.createDataFrame(
+        [(0, ang(50)), (1, ang(5)), (2, ang(85))],
+        "vec_id bigint, embedding array<double>",
+    )
+    flat = {
+        r["id"]: r["cid"]
+        for r in SIM.hierarchical_assignments(df, cdf, n_super=1).collect()
+    }
+    routed = {
+        r["id"]: r["cid"]
+        for r in SIM.hierarchical_assignments(df, cdf, n_super=2).collect()
+    }
+    assert flat[0] == 2 and routed[0] == 1  # the constructed divergence
+    assert flat[1] == routed[1] == 0  # vectors near a super still agree
+    assert flat[2] == routed[2] == 1
 
 
 def test_semdedup_ragged_widths_fall_back_to_fold(spark):

@@ -596,6 +596,73 @@ def test_upsert_by_key_converges(spark, tmp_path):
     assert got == {("a", 1): 99, ("b", 1): 20, ("c", 2): 30}
 
 
+def test_upsert_by_key_recovers_from_crash_between_renames(spark, tmp_path):
+    # simulate _swap_in dying BETWEEN its two renames (the only window
+    # where `path` is absent): dataset displaced to ._old, the committed
+    # merge sitting complete in ._tmp.  The next upsert must first finish
+    # the interrupted swap (the ._tmp copy wins — the merge had fully
+    # committed), then apply its own updates on top.
+    import shutil
+
+    path = str(tmp_path / "ds")
+    df1 = spark.createDataFrame([("a", 10), ("b", 20)], "k: string, v: int")
+    sinks.upsert_by_key(spark, df1, path, ["k"])
+    df2 = spark.createDataFrame([("a", 99)], "k: string, v: int")
+    sinks.upsert_by_key(spark, df2, path, ["k"])
+    # reconstruct the mid-swap crash state: `path` was renamed to ._old
+    # (holding the PRE-merge state df1) and the merged result is in ._tmp
+    shutil.move(path, path + "._old")
+    shutil.copytree(path + "._old", path + "._tmp")
+    # make ._tmp the POST-merge state so the two copies are distinguishable
+    spark.createDataFrame(
+        [("a", 99), ("b", 20)], "k: string, v: int"
+    ).write.mode("overwrite").parquet(path + "._tmp")
+    df3 = spark.createDataFrame([("c", 30)], "k: string, v: int")
+    sinks.upsert_by_key(spark, df3, path, ["k"])
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {"a": 99, "b": 20, "c": 30}  # ._tmp (committed merge) won
+    import os
+
+    assert not os.path.exists(path + "._tmp") and not os.path.exists(path + "._old")
+
+
+def test_upsert_by_key_ignores_aborted_tmp_write(spark, tmp_path):
+    # crash DURING the tmp write: `path` still intact, ._tmp exists but has
+    # no _SUCCESS marker — recovery must leave `path` alone and the next
+    # merge must not read the aborted garbage
+    import os
+
+    path = str(tmp_path / "ds")
+    df1 = spark.createDataFrame([("a", 10)], "k: string, v: int")
+    sinks.upsert_by_key(spark, df1, path, ["k"])
+    os.makedirs(path + "._tmp")
+    with open(path + "._tmp/part-garbage.parquet", "wb") as f:
+        f.write(b"not parquet")
+    df2 = spark.createDataFrame([("b", 20)], "k: string, v: int")
+    sinks.upsert_by_key(spark, df2, path, ["k"])
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {"a": 10, "b": 20}
+    assert not os.path.exists(path + "._tmp")
+
+
+def test_upsert_by_key_rolls_back_when_tmp_incomplete(spark, tmp_path):
+    # crash mid-swap with an INCOMPLETE ._tmp (no _SUCCESS): path is gone,
+    # ._old holds the only intact copy — recovery must restore it
+    import os
+    import shutil
+
+    path = str(tmp_path / "ds")
+    df1 = spark.createDataFrame([("a", 10), ("b", 20)], "k: string, v: int")
+    sinks.upsert_by_key(spark, df1, path, ["k"])
+    shutil.move(path, path + "._old")
+    os.makedirs(path + "._tmp")  # aborted write: empty, no _SUCCESS
+    df2 = spark.createDataFrame([("c", 30)], "k: string, v: int")
+    sinks.upsert_by_key(spark, df2, path, ["k"])
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {"a": 10, "b": 20, "c": 30}  # rolled back to ._old, then merged
+    assert not os.path.exists(path + "._tmp") and not os.path.exists(path + "._old")
+
+
 def test_kafka_json_shape(spark):
     df = spark.createDataFrame([(1, "x")], "id: int, name: string")
     out = sinks.to_kafka_json(df, key_cols=["id"]).collect()[0]

@@ -55,7 +55,10 @@ def main():
     spark = get_spark(app_name="bench-upsert")
     import shutil
 
-    shutil.rmtree(os.path.dirname(args.out), ignore_errors=True)
+    # remove ONLY the target dir itself — rmtree'ing its PARENT would
+    # recursively wipe whatever else lives there (e.g. --out /tmp/results
+    # would delete all of /tmp, silently under ignore_errors)
+    shutil.rmtree(args.out, ignore_errors=True)
 
     ev = load_tables(spark, args.sf)["events"]
     summary = (
