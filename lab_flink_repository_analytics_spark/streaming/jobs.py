@@ -117,6 +117,25 @@ def session_threads_stream(emails: DataFrame, gap: str = "30 days") -> DataFrame
     )
 
 
+def quiet_sessions_stream(events: DataFrame, gap: str = "12 hours") -> DataFrame:
+    """Streaming twin of ``queries/suite.py::quiet_sessions`` (README.md:
+    227-236 session + HAVING COUNT < 2): per-user session windows over the
+    events stream; a session emits (append mode) once the watermark passes
+    its end + gap, and the HAVING filter can only be final then."""
+    sess = F.session_window("ts", gap)
+    return (
+        events.groupBy(sess.alias("s"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") < 2)
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "cnt",
+        )
+    )
+
+
 def run_commit_activity_job(
     spark: SparkSession,
     input_path: str,

@@ -1083,6 +1083,72 @@ def test_hierarchical_routing_actually_diverges(spark):
     assert flat[2] == routed[2] == 1
 
 
+def test_dedup_eval_cap_is_noop_at_graded_scales():
+    # the DEDUP_EVAL_MAX_BLOCK truth-universe cap (queries/suite.py) was
+    # mirrored into the DuckDB oracle in the same change, so the oracle
+    # cannot detect a semantic shift — this pins the claim the artifacts
+    # rely on instead: at BOTH graded scale factors every (source, lang)
+    # block is smaller than the cap, so the bounded universe is the FULL
+    # universe and all graded hashes are unchanged by the cap.  No Spark
+    # needed — one aggregate over the driver parquet.
+    import duckdb
+
+    from lab_flink_repository_analytics_spark.queries import suite
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        mx = duckdb.sql(
+            f"SELECT max(n) FROM (SELECT count(*) AS n FROM "
+            f"'{sf}/documents.parquet' GROUP BY source, lang)"
+        ).fetchone()[0]
+        assert mx < suite.DEDUP_EVAL_MAX_BLOCK, (sf, mx)
+
+
+def test_dedup_eval_sampled_estimate_tracks_exact_when_cap_binds(
+    spark, tmp_path, monkeypatch
+):
+    # where the cap BINDS, lsh_dedup_eval is a sampled estimate of the
+    # uncapped precision/recall — quantify that estimate instead of
+    # defining it away (the oracle mirrors the cap, so only a test can
+    # see the divergence; mirrors what test_hierarchical_* does for
+    # semdedup routing).  Corpus: one 90-doc (source, lang) block, 9
+    # duplicate groups assigned round-robin by doc_id so the lowest-50
+    # prefix keeps proportional group membership; odd docs drift below
+    # the Jaccard threshold so precision is NON-trivial (< 1) in both
+    # runs and the estimator has something to get wrong.
+    import os
+
+    from lab_flink_repository_analytics_spark.queries import suite
+
+    words = [f"tok{j}" for j in range(200)]
+    rows = []
+    for i in range(90):
+        g = i % 9
+        toks = list(words[g * 14 : g * 14 + 12]) + [f"uniq{i}"]
+        if i % 2 == 1:
+            toks = toks[:7] + [f"drift{g}_{k}" for k in range(5)] + [f"uniq{i}"]
+        rows.append((i, " ".join(toks), "en", "src0", len(" ".join(toks))))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    sf = str(tmp_path / "sfdiv")
+    df.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+
+    def run(cap):
+        monkeypatch.setattr(suite, "DEDUP_EVAL_MAX_BLOCK", cap)
+        return suite.lsh_dedup_eval(spark, sf).collect()[0]
+
+    full = run(10_000)
+    capped = run(50)
+    # the cap must actually bind: the sampled universe is a strict subset
+    assert capped["n_true"] < full["n_true"]
+    assert capped["n_candidates"] < full["n_candidates"]
+    # precision is non-trivial in the full run (drift pairs produce LSH
+    # false positives) and the sampled estimate tracks it closely
+    assert full["prec"] < 1.0
+    assert abs(capped["prec"] - full["prec"]) <= 0.15, (capped, full)
+    assert abs(capped["rec"] - full["rec"]) <= 0.15, (capped, full)
+
+
 def test_semdedup_ragged_widths_fall_back_to_fold(spark):
     # mixed embedding widths: the unrolled flat_dot path's behavior would
     # depend on WHICH row the width probe sampled (a shorter vector gets a

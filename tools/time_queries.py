@@ -1,8 +1,15 @@
 #!/usr/bin/env python
 """Sequential per-query timing for a subset of suite queries.
 
-Usage: python tools/time_queries.py q1 q2 ... [--sf DIR] [--reps N]
-                                              [--mode cold|warm]
+Usage: python tools/time_queries.py [q1 q2 ... | all] [--sf DIR] [--reps N]
+                                                      [--mode cold|warm]
+
+Ordering contract (round-8): measurement always proceeds in CANONICAL
+REGISTRY ORDER (the suite.queries() dict order) regardless of how the
+names were given, and the artifact records the exact sequence — so
+per-query medians are comparable across rounds (the r6→r7 artifacts ran
+in different orders and 41 sub-second queries scattered >1.2× from
+run-order variance alone).
 
 Fresh session, sequential (no pool queueing) — isolates plan cost from
 bench.py's FAIR-pool concurrency so before/after comparisons of a single
@@ -108,7 +115,10 @@ def _reset(spark):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("queries", nargs="+")
+    ap.add_argument(
+        "queries", nargs="*",
+        help="query names, or 'all' / nothing for the full registry; "
+        "whatever is given is re-sequenced into CANONICAL REGISTRY ORDER")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--mode", choices=("cold", "warm"), default="cold")
@@ -138,15 +148,31 @@ def main():
 
     spark = get_spark(app_name="time-queries")
     qs = suite.queries()
+    # CANONICAL ORDER (round-8 fix): r7 ran alphabetically, r6 in registry
+    # order, making per-query medians cross-round incomparable (41 queries
+    # scattered >1.2× while the sum moved 1.1% — pure run-order variance).
+    # Whatever subset is requested, measurement ALWAYS proceeds in registry
+    # order, and the artifact records the exact sequence it ran.
+    requested = set(args.queries)
+    if not requested or requested == {"all"}:
+        ordered = list(qs)
+    else:
+        unknown = requested - set(qs)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}", file=sys.stderr)
+            sys.exit(2)
+        ordered = [n for n in qs if n in requested]
     out = {
         "mode": args.mode,
         "reps": args.reps,
         "sf": args.sf,
+        "order": "registry",
+        "sequence": ordered,
         "preflight": {"foreign_jvms": foreign, "clean": not foreign},
         "queries": {},
     }
     WARM_TOL = 0.25  # stop warming once run N is within 25% of run N-1
-    for name in args.queries:
+    for name in ordered:
         fn = qs[name]
         # unmeasured ADAPTIVE warm-up (both modes): compiles codegen, spawns
         # Arrow workers, and lets the JVM's tiered JIT reach its plateau —
