@@ -92,3 +92,61 @@ def test_packing_summary_fill_rate(spark):
     packed = P.first_fit_pack(df, CAP)
     s = P.packing_summary(packed, CAP).collect()[0]
     assert s["n_bins"] == 2 and s["fill_rate"] == 1.0 and s["n_oversize_bins"] == 0
+
+
+def _naive_first_fit(sizes, capacity):
+    # the reference fold the segment tree must reproduce bit-for-bit:
+    # linear scan over bin remainders, first bin with room wins
+    remaining, bins, oversize = [], [], []
+    for size in sizes:
+        if size > capacity:
+            bins.append(len(remaining))
+            remaining.append(0)
+            oversize.append(True)
+            continue
+        for i, room in enumerate(remaining):
+            if room >= size:
+                remaining[i] = room - size
+                bins.append(i)
+                break
+        else:
+            bins.append(len(remaining))
+            remaining.append(capacity - size)
+        oversize.append(False)
+    return bins, oversize
+
+
+def test_first_fit_segment_tree_matches_naive_scan():
+    # the O(n log n) segment-tree leftmost-fit (round 8: the linear scan
+    # measured 6x super-proportional at the sf1 sweep and is O(n*bins) at
+    # the contract's 1e6-doc shard bound) must be assignment-identical to
+    # the naive linear first-fit on adversarial size mixes: descending
+    # (the FFD order), all-oversize, all-equal, zeros, and a deterministic
+    # pseudo-random mix
+    cases = [
+        sorted((i * 37 % 200 for i in range(500)), reverse=True),
+        [300] * 20,  # every item oversize at cap 256
+        [256] * 15,  # exact-fit items: one bin each
+        [0] * 10 + [5] * 10,  # zero-size items all land in bin 0
+        sorted(((i * i * 7919 + i * 13) % 260 for i in range(2000)), reverse=True),
+        [],
+    ]
+    for sizes in cases:
+        got = P._first_fit_bins(sizes, 256)
+        want = _naive_first_fit(sizes, 256)
+        assert got == (list(want[0]), list(want[1])), sizes[:10]
+
+
+def test_first_fit_segment_tree_scales():
+    # 200k items must pack in seconds (the linear scan needs minutes):
+    # n log n, not n * bins — the property that keeps a 1e6-doc shard
+    # runnable inside one applyInPandas task at the 100 TB tier
+    import time
+
+    sizes = sorted(((i * 7919 + 17) % 250 + 1 for i in range(200_000)), reverse=True)
+    t0 = time.time()
+    bins, oversize = P._first_fit_bins(sizes, 256)
+    dt = time.time() - t0
+    assert not any(oversize)
+    assert max(bins) + 1 >= sum(sizes) // 256  # capacity lower bound
+    assert dt < 10, f"segment-tree pack took {dt:.1f}s for 200k items"
