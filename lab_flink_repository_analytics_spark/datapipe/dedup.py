@@ -272,27 +272,72 @@ def embedding_near_dup_pairs(
     block (a cluster id, LSH bucket — see ``similarity.lsh_bucket`` — or
     any partition column).  The join is hash-partitioned on the block key,
     never all-pairs; norms are computed once per row before the join.
+
+    The pair cosine is the codegen-unrolled ``similarity.flat_dot`` when
+    every embedding has the same width (probed min==max like semdedup's
+    pair scan), falling back to the fold form on ragged/empty input —
+    round 8: the fold cosine evaluates through the INTERPRETED
+    HigherOrderFunction path inside the join's bound condition
+    (ZipWith.eval in every task's stack at the 100× replica, where the
+    replica's repeated payloads give the bucket join ~100× candidate
+    pairs), exactly the de-optimization semdedup measured at 70× the
+    join's own cost.  flat_dot is bit-identical to the fold
+    (similarity.py:44-47), so hashes and oracles are unchanged.
     """
     from lab_flink_repository_analytics_spark.datapipe import similarity as SIM
     from lab_flink_repository_analytics_spark.session import rebalance
 
+    dim_row = emb.agg(
+        F.min(F.size(vec_col)).alias("lo"), F.max(F.size(vec_col)).alias("hi")
+    ).first()
+    dim = (
+        int(dim_row["lo"])
+        if dim_row is not None
+        and dim_row["lo"] is not None
+        and dim_row["lo"] == dim_row["hi"]
+        else None
+    )
+    if dim is not None:
+        nrm = F.sqrt(SIM.flat_dot(vec_col, vec_col, dim))
+    else:  # empty input or ragged widths: fold norm (NULL on raggedness)
+        nrm = SIM.norm(vec_col)
     sel = rebalance(emb).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        SIM.norm(vec_col).alias("nrm"),
+        nrm.alias("nrm"),
         *block_cols,
     )
     left, right = sel.alias("l"), sel.alias("r")
     cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols] + [
         F.col("l.id") < F.col("r.id")
     ]
-    cos = SIM.dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm"))
+    if dim is not None:
+        dot_lr = SIM.flat_dot(F.col("l.v"), F.col("r.v"), dim)
+    else:
+        dot_lr = SIM.dot(F.col("l.v"), F.col("r.v"))
+    cos = dot_lr / (F.col("l.nrm") * F.col("r.nrm"))
+    # the threshold filter must NOT be pushed into the join's bound
+    # condition: PushPredicateThroughJoin would move the whole cosine
+    # there, and the standalone predicate codegen path is a SINGLE
+    # generated method that cannot split the unrolled dot chain the way
+    # whole-stage codegen does — measured 89.7s at the 10× replica vs
+    # 22.9s with the cosine pinned post-join (and the join predicate is
+    # where the fold form spent its 100×-replica runtime too, as an
+    # interpreted ZipWith that never finished a rep there).
+    # A nondeterministic-but-constant guard on the projected column pins
+    # the cosine to the POST-join projection stage — the join stays a
+    # pure equi-join on the block key with the cheap id ordering as its
+    # only extra condition, and the cosine+filter run in splittable
+    # whole-stage codegen, the configuration semdedup's pair scan
+    # measured at 98M pairs / 1.7s.  The guard is always true, so values
+    # and hashes are unchanged.
+    cos_pinned = F.when(F.monotonically_increasing_id() >= 0, cos)
     return (
         left.join(right, on=cond)
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.round(cos, 6).alias("cos_sim"),
+            F.round(cos_pinned, 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
