@@ -47,7 +47,22 @@ def _revenue_sum() -> F.Column:
     ).cast("double")
 
 
-_REV_SQL = f"CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS DOUBLE)"
+def _d2d(expr: str) -> str:
+    """DECIMAL->DOUBLE cast for DuckDB oracles, routed through VARCHAR.
+
+    DuckDB's direct DECIMAL->DOUBLE cast is not correctly rounded: at sf1 the
+    q1 ``sum_charge`` group 27864155010.941590 casts to ...941593 where the
+    correctly-rounded double (Python ``float(Decimal)``, Spark
+    ``BigDecimal.doubleValue``) is ...94159 — a 1-ULP oracle-side error
+    (BENCH_SF1.md round-8 analysis).  VARCHAR->DOUBLE uses correctly-rounded
+    string parsing, so the exact decimal string round-trips to the same double
+    Spark produces.  Values are bit-identical wherever the direct cast was
+    already correct (all graded scales), so this only ever fixes the oracle.
+    """
+    return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
+
+_REV_SQL = _d2d(f"sum(CAST(l_extendedprice * (1 - l_discount) AS {DEC}))")
 
 
 # ---------------------------------------------------------------------------
@@ -86,13 +101,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-  CAST(sum(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
-  CAST(sum(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS sum_base_price,
+  {_d2d(f"sum(CAST(l_quantity AS {DEC}))")} AS sum_qty,
+  {_d2d(f"sum(CAST(l_extendedprice AS {DEC}))")} AS sum_base_price,
   {_REV_SQL} AS sum_disc_price,
-  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS {DEC})) AS DOUBLE) AS sum_charge,
-  CAST(sum(CAST(l_quantity AS {DEC})) AS DOUBLE) / count(*) AS avg_qty,
-  CAST(sum(CAST(l_extendedprice AS {DEC})) AS DOUBLE) / count(*) AS avg_price,
-  CAST(sum(CAST(l_discount AS {DEC})) AS DOUBLE) / count(*) AS avg_disc,
+  {_d2d(f"sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS {DEC}))")} AS sum_charge,
+  {_d2d(f"sum(CAST(l_quantity AS {DEC}))")} / count(*) AS avg_qty,
+  {_d2d(f"sum(CAST(l_extendedprice AS {DEC}))")} / count(*) AS avg_price,
+  {_d2d(f"sum(CAST(l_discount AS {DEC}))")} / count(*) AS avg_disc,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
