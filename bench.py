@@ -32,7 +32,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from lab_flink_repository_analytics_spark.queries import suite
-from lab_flink_repository_analytics_spark.session import get_spark
+from lab_flink_repository_analytics_spark.session import get_spark, run_canary
 
 
 def main():
@@ -72,6 +72,10 @@ def main():
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return name, time.time() - t0
 
+    # host-speed canary (round-9): constant synthetic job timed before and
+    # after the suite so cross-round comparisons can separate host drift
+    # from code regressions (see session.run_canary)
+    canary_start = run_canary(spark)
     items = list(suite.queries().items())
     times: dict[str, float] = {}
     wall0 = time.time()
@@ -84,6 +88,7 @@ def main():
             for name, dt in ex.map(run_one, items):
                 times[name] = round(dt, 3)
     wall = time.time() - wall0
+    canary_end = run_canary(spark)
 
     summary = {
         "metric": "suite_total_runtime",
@@ -93,6 +98,8 @@ def main():
         "sf": sf,
         "parallelism": par,
         "sum_sec": round(sum(times.values()), 3),
+        "canary_start": canary_start,
+        "canary_end": canary_end,
     }
     # Output contract (round 7, single line): stdout carries EXACTLY ONE
     # JSON line, sized to fit whole inside the driver's ~2000-char tail

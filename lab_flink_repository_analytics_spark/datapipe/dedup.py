@@ -264,6 +264,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key.
 
@@ -283,24 +284,42 @@ def embedding_near_dup_pairs(
     pairs), exactly the de-optimization semdedup measured at 70× the
     join's own cost.  flat_dot is bit-identical to the fold
     (similarity.py:44-47), so hashes and oracles are unchanged.
+
+    ``dim``: pass the (constant) embedding width to keep the call a LAZY
+    plan — with ``dim=None`` a full min/max-width probe over ``emb`` runs
+    eagerly to prove the width uniform, an extra full input pass at every
+    scale (round-9 advisor fix; the probe was the largest single mover in
+    the r8 sf0.1 bench).  A caller-supplied ``dim`` is enforced per ROW
+    instead: any row whose width differs gets a NULL norm, so its pairs
+    drop — the same fate ragged pairs meet under the fold form, never a
+    silently truncated dot.
     """
     from lab_flink_repository_analytics_spark.datapipe import similarity as SIM
     from lab_flink_repository_analytics_spark.session import rebalance
 
-    dim_row = emb.agg(
-        F.min(F.size(vec_col)).alias("lo"), F.max(F.size(vec_col)).alias("hi")
-    ).first()
-    dim = (
-        int(dim_row["lo"])
-        if dim_row is not None
-        and dim_row["lo"] is not None
-        and dim_row["lo"] == dim_row["hi"]
-        else None
-    )
-    if dim is not None:
-        nrm = F.sqrt(SIM.flat_dot(vec_col, vec_col, dim))
-    else:  # empty input or ragged widths: fold norm (NULL on raggedness)
-        nrm = SIM.norm(vec_col)
+    caller_dim = dim is not None
+    if dim is None:
+        dim_row = emb.agg(
+            F.min(F.size(vec_col)).alias("lo"),
+            F.max(F.size(vec_col)).alias("hi"),
+        ).first()
+        dim = (
+            int(dim_row["lo"])
+            if dim_row is not None
+            and dim_row["lo"] is not None
+            and dim_row["lo"] == dim_row["hi"]
+            else None
+        )
+        if dim is not None:
+            nrm = F.sqrt(SIM.flat_dot(vec_col, vec_col, dim))
+        else:  # empty input or ragged widths: fold norm (NULL on raggedness)
+            nrm = SIM.norm(vec_col)
+    else:
+        # caller-contract width: guard per row, NULL norm on mismatch
+        nrm = F.when(
+            F.size(vec_col) == F.lit(dim),
+            F.sqrt(SIM.flat_dot(vec_col, vec_col, dim)),
+        )
     sel = rebalance(emb).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -316,6 +335,19 @@ def embedding_near_dup_pairs(
     else:
         dot_lr = SIM.dot(F.col("l.v"), F.col("r.v"))
     cos = dot_lr / (F.col("l.nrm") * F.col("r.nrm"))
+    if caller_dim:
+        # the probe path PROVED every width == dim; the caller-dim path
+        # must guard the pair dot itself — flat_dot's GetArrayItem throws
+        # under ANSI on a shorter array, and `/` does not short-circuit
+        # on the NULL norm.  CaseWhen evaluates its branch lazily, so
+        # mismatched-width pairs yield NULL (and drop at the threshold
+        # filter) instead of failing the job.  Always-true on contract-
+        # conforming data: values and hashes unchanged.
+        cos = F.when(
+            (F.size(F.col("l.v")) == F.lit(dim))
+            & (F.size(F.col("r.v")) == F.lit(dim)),
+            cos,
+        )
     # the threshold filter must NOT be pushed into the join's bound
     # condition: PushPredicateThroughJoin would move the whole cosine
     # there, and the standalone predicate codegen path is a SINGLE

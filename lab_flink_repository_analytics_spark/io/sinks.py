@@ -15,8 +15,22 @@ The reference's sinks:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
+
+
+def _rename_or_raise(fs, src, dst) -> None:
+    """Hadoop ``FileSystem.rename`` reports most failures (dest exists,
+    src missing, cross-FS, permission on some stores) by returning
+    ``false``, not raising.  Swallowing that here would let a failed swap
+    report success and the next call's step-1 cleanup garbage-collect the
+    committed ``._tmp`` — so any ``false`` is fatal."""
+    if not fs.rename(src, dst):
+        raise RuntimeError(f"rename failed (returned false): {src} -> {dst}")
 
 
 def upsert_by_key(
@@ -153,8 +167,8 @@ def _swap_in(spark: SparkSession, result: DataFrame, path: str) -> None:
     tmp = jvm.org.apache.hadoop.fs.Path(tmp_s)
     old = jvm.org.apache.hadoop.fs.Path(old_s)
     if fs.exists(hpath):
-        fs.rename(hpath, old)
-    fs.rename(tmp, hpath)
+        _rename_or_raise(fs, hpath, old)
+    _rename_or_raise(fs, tmp, hpath)
     _rm(spark, old_s)
 
 
@@ -181,7 +195,16 @@ def _recover_swap(spark: SparkSession, path: str) -> None:
     if src is not None:
         if fs.exists(hpath):
             fs.delete(hpath, True)
-        fs.rename(src, hpath)
+        _rename_or_raise(fs, src, hpath)
+    elif fs.exists(hpath):
+        # Unhealthy (exists-but-empty) and nothing salvageable: a crash
+        # left no complete copy.  Warn so operators can tell this apart
+        # from "never written" when a later read fails.
+        _LOG.warning(
+            "upsert recovery: %s is empty and no complete ._tmp/._old "
+            "survivor exists — no salvageable copy found",
+            path,
+        )
 
 
 def _hadoop_fs(spark: SparkSession, path: str):

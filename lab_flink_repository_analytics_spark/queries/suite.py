@@ -1086,9 +1086,20 @@ FROM (
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, blocked by label."""
+    """Embedding-cosine near-duplicate pairs, blocked by label.
+
+    The width is probed from ONE row (a single-split one-row scan, ~ms)
+    and passed as the ``dim`` contract — the function then enforces it
+    per row (mismatched widths get NULL norms and drop, like ragged pairs
+    under the fold form) instead of running its own eager full-input
+    min/max width pass per call (round-9 advisor fix)."""
     t = load_tables(spark, sf_dir)
-    return DD.embedding_near_dup_pairs(t["embeddings"], ["label"], threshold=0.3)
+    emb = t["embeddings"]
+    one = emb.select(F.size("embedding").alias("d")).first()
+    dim = int(one["d"]) if one is not None and one["d"] is not None else None
+    return DD.embedding_near_dup_pairs(
+        emb, ["label"], threshold=0.3, dim=dim
+    )
 
 
 EMBEDDING_NEAR_DUP_SQL = f"""

@@ -486,3 +486,48 @@ def _load_one_table(spark: SparkSession, sf_dir: str, name: str):
 
 #: columns stored as TIMESTAMP(NANOS) in the driver's parquet
 _NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def run_canary(spark: SparkSession, reps: int = 3) -> dict:
+    """Fixed synthetic workload for HOST-SPEED normalization of bench runs.
+
+    Reads no input data: ``spark.range`` → codegen arithmetic → a 32→32
+    hash-partitioned shuffle → final agg, all JVM-side with a constant
+    row count — so its runtime depends only on the machine (CPU clock,
+    contention, page-cache pressure), never on this repo's query code.
+    Bench artifacts record it at the START and END of every run; if two
+    rounds' canaries differ by the same factor as their suites, the drift
+    is the host, not a regression (round-8's unattributed one-sided ~1.16×
+    suite-wide shift is exactly the case this disambiguates).
+
+    First execution is warm-up (codegen compile + JIT), unmeasured.
+    Returns ``{"runs": [...], "median": s}``.
+    """
+    import statistics as _stats
+    import time as _time
+
+    def _work():
+        (
+            spark.range(0, 16_000_000, 1, 32)
+            .select(
+                ((F.col("id") * 2654435761) % 1000003).alias("k"),
+                F.col("id"),
+            )
+            .groupBy((F.col("k") % 4096).alias("b"))
+            .agg(
+                F.sum("id").alias("s"),
+                F.count(F.lit(1)).alias("c"),
+                F.avg("k").alias("a"),
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    _work()  # unmeasured: codegen compile + worker JIT
+    runs = []
+    for _ in range(reps):
+        t0 = _time.time()
+        _work()
+        runs.append(round(_time.time() - t0, 3))
+    return {"runs": runs, "median": round(_stats.median(runs), 3)}

@@ -214,6 +214,28 @@ def test_embedding_near_dup_pairs(spark):
     assert pairs[(1, 2)] > 0.99
 
 
+def test_embedding_near_dup_pairs_caller_dim(spark):
+    # caller-supplied dim (lazy path, no eager width probe): identical
+    # pairs on conforming data, and a RAGGED row must DROP its pairs —
+    # not throw through ANSI GetArrayItem, not silently truncate the dot
+    rows = [
+        (1, [1.0, 0.0, 0.0], "a"),
+        (2, [0.9, 0.1, 0.0], "a"),
+        (3, [1.0, 0.0], "a"),        # width 2 ≠ dim 3: all its pairs drop
+        (4, [0.0, 1.0, 0.0], "a"),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id: int, embedding: array<double>, label: string"
+    )
+    out = DD.embedding_near_dup_pairs(emb, ["label"], threshold=0.8, dim=3).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in out}
+    assert set(pairs) == {(1, 2)}
+    # with dim=2 the only conforming row is 3 (no partner): zero pairs —
+    # the width-3 rows drop symmetrically instead of truncating to 2 dims
+    out2 = DD.embedding_near_dup_pairs(emb, ["label"], threshold=0.0, dim=2).collect()
+    assert out2 == []
+
+
 def test_repetition_metrics(spark):
     df = spark.createDataFrame(
         [(1, "a a a b"), (2, "x y z w"), (3, "solo")],

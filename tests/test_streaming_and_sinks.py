@@ -1447,3 +1447,47 @@ def test_streaming_quota_fill_restart_resume_sf001(spark, tmp_path):
         if sum(len(r["text"].split(" ")) for r in rs[:10]) < quotas[s]
     )
     assert crossed_late >= len(by_source) // 2
+
+
+def test_rename_or_raise_rejects_false_return():
+    # Hadoop FileSystem.rename reports many failures by RETURNING FALSE
+    # (dest exists, src missing, permission on some object stores) instead
+    # of throwing.  A swallowed false in _swap_in means: path->._old fails
+    # silently, ._tmp->path then also fails (dest still exists), the call
+    # reports success with the merge unapplied, and the NEXT call's step-1
+    # cleanup deletes the committed ._tmp — a silently dropped upsert.
+    class _FakeFs:
+        def __init__(self, ok):
+            self._ok = ok
+            self.calls = []
+
+        def rename(self, src, dst):
+            self.calls.append((src, dst))
+            return self._ok
+
+    sinks._rename_or_raise(_FakeFs(True), "a", "b")  # true passes through
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="rename failed"):
+        sinks._rename_or_raise(_FakeFs(False), "a", "b")
+
+
+def test_recover_swap_warns_when_nothing_salvageable(spark, tmp_path, caplog):
+    # exists-but-empty `path` (crash before any complete copy existed) with
+    # neither a _SUCCESS-marked ._tmp nor ._old: recovery finds nothing.
+    # It must WARN so an operator can tell "crash left no complete copy"
+    # apart from "never written" when the subsequent read fails.
+    import logging
+    import os
+
+    path = str(tmp_path / "ds")
+    os.makedirs(path)  # unhealthy: exists, zero entries
+    with caplog.at_level(logging.WARNING, logger="lab_flink_repository_analytics_spark.io.sinks"):
+        sinks._recover_swap(spark, path)
+    assert any("no salvageable copy" in r.message for r in caplog.records)
+
+    # healthy path or plain-missing path must NOT warn (first-call case)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="lab_flink_repository_analytics_spark.io.sinks"):
+        sinks._recover_swap(spark, str(tmp_path / "never_written"))
+    assert not caplog.records

@@ -61,6 +61,7 @@ from lab_flink_repository_analytics_spark.session import (
     get_spark,
     release_persist_slots,
     reset_derived_state,
+    run_canary,
     sweep_persistent_rdds,
 )
 
@@ -153,8 +154,10 @@ def main():
     # scattered >1.2× while the sum moved 1.1% — pure run-order variance).
     # Whatever subset is requested, measurement ALWAYS proceeds in registry
     # order, and the artifact records the exact sequence it ran.
-    requested = set(args.queries)
-    if not requested or requested == {"all"}:
+    # 'all' is a full-registry sentinel wherever it appears ('all q1' used
+    # to exit 2 with "unknown query: all", contradicting the usage line)
+    requested = set(args.queries) - {"all"}
+    if not requested or "all" in args.queries:
         ordered = list(qs)
     else:
         unknown = requested - set(qs)
@@ -171,6 +174,13 @@ def main():
         "preflight": {"foreign_jvms": foreign, "clean": not foreign},
         "queries": {},
     }
+    # HOST-SPEED CANARY (round-9): a constant synthetic job timed before
+    # and after the suite.  Cross-round artifact comparison divides by the
+    # canary ratio first — a uniform suite shift that the canary also
+    # shows is host drift, not a code regression (the round-8 one-sided
+    # ~1.19× sequential shift was exactly this ambiguity).
+    out["canary_start"] = run_canary(spark)
+    print(f"canary(start): {out['canary_start']}", file=sys.stderr)
     WARM_TOL = 0.25  # stop warming once run N is within 25% of run N-1
     for name in ordered:
         fn = qs[name]
@@ -207,6 +217,9 @@ def main():
         }
         print(f"{name}: min={min(runs)} median={out['queries'][name]['median']} "
               f"max={max(runs)} ({args.mode})", file=sys.stderr)
+    _reset(spark)
+    out["canary_end"] = run_canary(spark)
+    print(f"canary(end): {out['canary_end']}", file=sys.stderr)
     print(json.dumps(out))
     # tear the JVM down promptly: back-to-back invocations otherwise find
     # the previous run's gateway JVM still draining its shutdown hooks
