@@ -1491,3 +1491,299 @@ def test_recover_swap_warns_when_nothing_salvageable(spark, tmp_path, caplog):
     with caplog.at_level(logging.WARNING, logger="lab_flink_repository_analytics_spark.io.sinks"):
         sinks._recover_swap(spark, str(tmp_path / "never_written"))
     assert not caplog.records
+
+
+def test_streaming_sliding_activity_restart_resume_sf001(spark, tmp_path):
+    # the HOP-window twin under real micro-batching at sf0.01: events
+    # split at the median ts into two drops, two availableNow runs
+    # sharing one checkpoint (run 2 is a restart that must merge batch-2
+    # rows into OPEN hop windows from the checkpointed state), final
+    # append-mode emitted set == the same aggregation in batch mode.
+    from datetime import timedelta
+
+    from lab_flink_repository_analytics_spark.session import load_tables
+
+    ev = load_tables(spark, "/root/testdata/sf0.01")["events"].select(
+        "event_type", "ts"
+    )
+    rows = ev.collect()
+    split = sorted(r["ts"] for r in rows)[len(rows) // 2]
+    closer = ("___closer___", max(r["ts"] for r in rows) + timedelta(days=100))
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "win")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_type string, ts timestamp"
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+        )
+        q = (
+            jobs.sliding_activity_stream(stream)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda b, _: None
+                if b.isEmpty()
+                else b.write.mode("append").parquet(out)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    first = [r for r in rows if r["ts"] < split]
+    second = [tuple(r) for r in rows if r["ts"] >= split] + [closer]
+    spark.createDataFrame(first, schema).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    mid_rows = spark.read.parquet(out).count()
+    spark.createDataFrame(second, schema).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    key = lambda r: (r["window_start"], r["window_end"], r["event_type"], r["events"])  # noqa: E731
+    got = {
+        key(r)
+        for r in spark.read.parquet(out).collect()
+        if r["event_type"] != "___closer___"
+    }
+    batch_in = spark.createDataFrame([tuple(r) for r in rows] + [closer], schema)
+    want = {
+        key(r)
+        for r in jobs.sliding_activity_stream(batch_in).collect()
+        if r["event_type"] != "___closer___"
+    }
+    assert got == want and len(want) > 0
+    # restart did real work: run 2 closed windows run 1 could not, and at
+    # least one emitted window STRADDLES the split (state restored, both
+    # drops contributed to it)
+    assert 0 < mid_rows < len(got)
+    assert any(ws < split < we for ws, we, _, _ in got)
+
+
+def test_streaming_session_threads_restart_resume_sf001(spark, tmp_path):
+    # the unanswered-threads session twin (README session query) at
+    # sf0.01 scale: emails synthesized from orders (thread key from
+    # custkey, Re:-prefix variety so NormalizeEmailThread matters), split
+    # at the median date, two runs sharing one checkpoint; sessions
+    # straddling the split must merge from restored state; final emitted
+    # set == the same session aggregation in batch mode.
+    from datetime import timedelta
+
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    emails_df = orders.select(
+        F.concat(
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit("Re: ")).otherwise(F.lit("")),
+            F.lit("[DISCUSS] topic-"),
+            (F.col("o_custkey") % 200).cast("string"),
+        ).alias("subject"),
+        F.col("o_orderdate").cast("timestamp").alias("date"),
+    )
+    rows = [tuple(r) for r in emails_df.collect()]
+    split = sorted(d for _, d in rows)[len(rows) // 2]
+    closer = ("___closer___", max(d for _, d in rows) + timedelta(days=400))
+    src = str(tmp_path / "mails")
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "subject string, date timestamp"
+
+    def run_once():
+        emails = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withWatermark("date", "1 day")
+        )
+        q = (
+            jobs.session_threads_stream(emails)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda b, _: None
+                if b.isEmpty()
+                else b.write.mode("append").parquet(out)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    spark.createDataFrame(
+        [r for r in rows if r[1] < split], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    spark.createDataFrame(
+        [r for r in rows if r[1] >= split] + [closer], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    key = lambda r: (r["thread"], r["session_end"], r["cnt"])  # noqa: E731
+    got = {
+        key(r)
+        for r in spark.read.parquet(out).collect()
+        if r["thread"] != "___closer___"
+    }
+    batch_in = spark.createDataFrame(rows + [closer], schema)
+    want = {
+        key(r)
+        for r in jobs.session_threads_stream(batch_in).collect()
+        if r["thread"] != "___closer___"
+    }
+    assert got == want and len(want) > 0
+    # some thread has messages within the 30d gap on BOTH sides of the
+    # split — those sessions merged from checkpointed state on restart
+    from collections import defaultdict
+
+    last_left = {}
+    for s, d in rows:
+        if d < split:
+            last_left[s] = max(last_left.get(s, d), d)
+    straddled = sum(
+        1
+        for s, d in rows
+        if d >= split
+        and s in last_left
+        and (d - last_left[s]) < timedelta(days=30)
+    )
+    assert straddled > 0
+
+
+def test_streaming_minhash_dedup_restart_resume_sf001(spark, tmp_path):
+    # stateful MinHash-LSH banding at sf0.01 (the full documents table):
+    # the SAME doc stream run (a) in one availableNow pass and (b) split
+    # into two passes sharing a checkpoint must emit the IDENTICAL
+    # candidate-pair set — the band-bucket state restored on restart
+    # pairs batch-2 docs against batch-1 members exactly as the single
+    # run's in-memory state did.  Drops respect doc_id order, matching
+    # _update_band's per-batch id sort, so the fold order is identical.
+    from lab_flink_repository_analytics_spark.streaming import stateful
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )
+    rows = [tuple(r) for r in docs.collect()]
+    half_id = rows[len(rows) // 2][0]
+    schema = "doc_id long, text string"
+
+    def run(src, out, ckpt):
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stateful.minhash_dedup_stream(stream)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda b, _: None
+                if b.isEmpty()
+                else b.write.mode("append").parquet(out)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def pairs(out):
+        import os
+
+        if not os.path.exists(out):
+            return set()
+        return {
+            (r["id_a"], r["id_b"], r["band_key"], round(r["est_jaccard"], 9))
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # (a) single run, all docs
+    src_a, out_a, ck_a = (str(tmp_path / p) for p in ("da", "pa", "ca"))
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src_a)
+    run(src_a, out_a, ck_a)
+    # (b) two runs, split at the median doc_id, shared checkpoint
+    src_b, out_b, ck_b = (str(tmp_path / p) for p in ("db", "pb", "cb"))
+    spark.createDataFrame(
+        [r for r in rows if r[0] < half_id], schema
+    ).coalesce(1).write.mode("append").parquet(src_b)
+    run(src_b, out_b, ck_b)
+    spark.createDataFrame(
+        [r for r in rows if r[0] >= half_id], schema
+    ).coalesce(1).write.mode("append").parquet(src_b)
+    run(src_b, out_b, ck_b)
+
+    single, split_run = pairs(out_a), pairs(out_b)
+    assert single == split_run and len(single) > 0
+    # the restart found CROSS-BOUNDARY candidates (batch-2 doc paired
+    # against restored batch-1 state), not just within-batch ones
+    assert any(a < half_id <= b for a, b, _, _ in split_run)
+
+
+def test_streaming_ewma_restart_resume_sf001(spark, tmp_path):
+    # per-user integer EWMA at sf0.01 (full events table): split at the
+    # median ts, two availableNow runs sharing one checkpoint; the
+    # restart must resume each user's (n, y) state, and the final
+    # upserted state must equal the batch integer fold over the global
+    # (ts, event_id) order — bit-exact, scaled-int recurrence.
+    from lab_flink_repository_analytics_spark.datapipe import timeseries as TS
+    from lab_flink_repository_analytics_spark.session import load_tables
+
+    ev = load_tables(spark, "/root/testdata/sf0.01")["events"].select(
+        "event_id", "user_id", "ts", "value"
+    )
+    rows = [tuple(r) for r in ev.collect()]
+    split = sorted(r[2] for r in rows)[len(rows) // 2]
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "ewma")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, user_id long, ts timestamp, value double"
+
+    def run_once():
+        from lab_flink_repository_analytics_spark.streaming import stateful
+
+        events = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withWatermark("ts", "1 day")
+        )
+
+        def _upsert(batch_df, _):
+            if not batch_df.isEmpty():
+                sinks.upsert_by_key(
+                    batch_df.sparkSession, batch_df, out, ["user_id"]
+                )
+
+        q = (
+            stateful.ewma_stream(events)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(_upsert)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    spark.createDataFrame(
+        [r for r in rows if r[2] < split], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    mid = {
+        r["user_id"]: (r["n_events"], r["ewma_scaled"])
+        for r in spark.read.parquet(out).collect()
+    }
+    spark.createDataFrame(
+        [r for r in rows if r[2] >= split], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    streamed = {
+        r["user_id"]: (r["n_events"], r["ewma_scaled"])
+        for r in spark.read.parquet(out).collect()
+    }
+    expect = {
+        r["user_id"]: (r["n_events"], r["ewma_scaled"])
+        for r in TS.ewma_int_df(
+            ev, ["user_id"], ["ts", "event_id"], "value"
+        ).collect()
+    }
+    assert streamed == expect and len(expect) > 0
+    # the restart continued from restored state: counts strictly grew
+    assert any(
+        mid.get(u, (0, None))[0] < n for u, (n, _) in streamed.items()
+    ) and len(mid) > 0
