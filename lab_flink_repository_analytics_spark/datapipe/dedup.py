@@ -274,30 +274,45 @@ def embedding_near_dup_pairs(
     any partition column).  The join is hash-partitioned on the block key,
     never all-pairs; norms are computed once per row before the join.
 
-    The pair cosine is the codegen-unrolled ``similarity.flat_dot`` when
-    every embedding has the same width (probed min==max like semdedup's
-    pair scan), falling back to the fold form on ragged/empty input —
-    round 8: the fold cosine evaluates through the INTERPRETED
-    HigherOrderFunction path inside the join's bound condition
-    (ZipWith.eval in every task's stack at the 100× replica, where the
-    replica's repeated payloads give the bucket join ~100× candidate
-    pairs), exactly the de-optimization semdedup measured at 70× the
-    join's own cost.  flat_dot is bit-identical to the fold
-    (similarity.py:44-47), so hashes and oracles are unchanged.
-
     ``dim``: pass the (constant) embedding width to keep the call a LAZY
     plan — with ``dim=None`` a full min/max-width probe over ``emb`` runs
     eagerly to prove the width uniform, an extra full input pass at every
-    scale (round-9 advisor fix; the probe was the largest single mover in
-    the r8 sf0.1 bench).  A caller-supplied ``dim`` is enforced per ROW
-    instead: any row whose width differs gets a NULL norm, so its pairs
-    drop — the same fate ragged pairs meet under the fold form, never a
-    silently truncated dot.
+    scale (round-9 advisor fix).  The width contract is enforced by a
+    cheap PRE-join row filter (``size(v) == dim``, pushed toward the
+    scan): a mismatched-width row drops with all its pairs — the fate
+    ragged pairs meet under the fold form — and every surviving row is
+    exactly ``dim`` wide, so the unrolled ``flat_dot`` (GetArrayItem,
+    which throws on out-of-bounds under ANSI) can never see a short
+    array.  On probe-proven or contract-conforming data the filter is a
+    no-op: values and hashes unchanged.
+
+    Plan notes, measured at the /tmp/scale replicas (round 9):
+
+    * The pair cosine is the codegen-unrolled ``similarity.flat_dot``
+      (bit-identical to the fold, similarity.py:44-47); the fold form
+      evaluates through the interpreted HigherOrderFunction path
+      (ZipWith.eval) wherever it lands in a join condition and never
+      finished a rep at the 100× replica (round 8).
+    * The threshold filter must NOT reach the join: under the
+      sort-merge regime (build side above the broadcast threshold —
+      the 100-TB regime) a pushed predicate becomes ONE generated
+      method that cannot split the unrolled chain, degrading to
+      interpreted eval.  The pin is an ADDITIVE nondeterministic zero —
+      ``cos + (CASE WHEN monotonically_increasing_id() >= 0 THEN 0.0
+      END)`` — which blocks predicate pushdown through the projection
+      (any nondeterministic project expression does) while leaving the
+      heavy chain a PLAIN top-level expression that whole-stage codegen
+      can split across methods.  Wrapping the chain in the CASE WHEN
+      branch instead (the round-8 form) makes it unsplittable there
+      too: measured 14.3–65.7s vs 2.4s at the 10× replica for the same
+      query.  ``x + 0.0 == x`` for every IEEE double except ``-0.0``
+      (which becomes ``+0.0``) — unreachable here because a ``-0.0``
+      cosine cannot pass a positive threshold, and both engines would
+      round-trip ``0.0`` identically anyway.
     """
     from lab_flink_repository_analytics_spark.datapipe import similarity as SIM
     from lab_flink_repository_analytics_spark.session import rebalance
 
-    caller_dim = dim is not None
     if dim is None:
         dim_row = emb.agg(
             F.min(F.size(vec_col)).alias("lo"),
@@ -310,16 +325,11 @@ def embedding_near_dup_pairs(
             and dim_row["lo"] == dim_row["hi"]
             else None
         )
-        if dim is not None:
-            nrm = F.sqrt(SIM.flat_dot(vec_col, vec_col, dim))
-        else:  # empty input or ragged widths: fold norm (NULL on raggedness)
-            nrm = SIM.norm(vec_col)
-    else:
-        # caller-contract width: guard per row, NULL norm on mismatch
-        nrm = F.when(
-            F.size(vec_col) == F.lit(dim),
-            F.sqrt(SIM.flat_dot(vec_col, vec_col, dim)),
-        )
+    if dim is not None:
+        emb = emb.filter(F.size(vec_col) == F.lit(dim))  # width contract
+        nrm = F.sqrt(SIM.flat_dot(vec_col, vec_col, dim))
+    else:  # empty input or probe-found ragged widths: fold norm
+        nrm = SIM.norm(vec_col)
     sel = rebalance(emb).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -335,41 +345,14 @@ def embedding_near_dup_pairs(
     else:
         dot_lr = SIM.dot(F.col("l.v"), F.col("r.v"))
     cos = dot_lr / (F.col("l.nrm") * F.col("r.nrm"))
-    if caller_dim:
-        # the probe path PROVED every width == dim; the caller-dim path
-        # must guard the pair dot itself — flat_dot's GetArrayItem throws
-        # under ANSI on a shorter array, and `/` does not short-circuit
-        # on the NULL norm.  CaseWhen evaluates its branch lazily, so
-        # mismatched-width pairs yield NULL (and drop at the threshold
-        # filter) instead of failing the job.  Always-true on contract-
-        # conforming data: values and hashes unchanged.
-        cos = F.when(
-            (F.size(F.col("l.v")) == F.lit(dim))
-            & (F.size(F.col("r.v")) == F.lit(dim)),
-            cos,
-        )
-    # the threshold filter must NOT be pushed into the join's bound
-    # condition: PushPredicateThroughJoin would move the whole cosine
-    # there, and the standalone predicate codegen path is a SINGLE
-    # generated method that cannot split the unrolled dot chain the way
-    # whole-stage codegen does — measured 89.7s at the 10× replica vs
-    # 22.9s with the cosine pinned post-join (and the join predicate is
-    # where the fold form spent its 100×-replica runtime too, as an
-    # interpreted ZipWith that never finished a rep there).
-    # A nondeterministic-but-constant guard on the projected column pins
-    # the cosine to the POST-join projection stage — the join stays a
-    # pure equi-join on the block key with the cheap id ordering as its
-    # only extra condition, and the cosine+filter run in splittable
-    # whole-stage codegen, the configuration semdedup's pair scan
-    # measured at 98M pairs / 1.7s.  The guard is always true, so values
-    # and hashes are unchanged.
-    cos_pinned = F.when(F.monotonically_increasing_id() >= 0, cos)
+    # additive nondeterministic-zero pin — see the docstring's plan notes
+    pin = F.when(F.monotonically_increasing_id() >= 0, F.lit(0.0))
     return (
         left.join(right, on=cond)
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.round(cos_pinned, 6).alias("cos_sim"),
+            F.round(cos + pin, 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

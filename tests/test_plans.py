@@ -254,3 +254,34 @@ def test_bigram_hybrid_has_broadcast_head_and_shuffled_tail(spark, sf_dir):
     ]
     assert tail_joins, plan
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_near_dup_cosine_stays_post_join(spark, sf_dir):
+    """The 64-term unrolled cosine must stay a PLAIN expression in the
+    post-join projection: not pushed into the join condition (where the
+    sort-merge regime's single-method predicate codegen cannot split it
+    and degrades to interpreted eval — the 100-TB regime killer), and not
+    wrapped in a CASE WHEN branch (branches are unsplittable inside
+    whole-stage codegen too: measured 14.3-65.7s vs 2.4s at the 10x
+    replica).  The pin is an additive nondeterministic zero; this test
+    guards it against optimizer changes folding it away."""
+    df = suite.embedding_near_dup(spark, sf_dir)
+    plan = _plan(df)
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if "SortMergeJoin" in ln or "HashJoin" in ln
+    ]
+    assert join_lines, plan
+    for ln in join_lines:
+        # join condition must reference only ids/labels — never the
+        # vector columns (the cosine would ride along with them)
+        assert " v#" not in ln and "embedding#" not in ln, ln
+    # threshold filter evaluated above the projection, on the alias
+    assert any(
+        "Filter" in ln and "cos_sim" in ln for ln in plan.splitlines()
+    ), plan
+    # and the projection's cosine is NOT inside a CASE WHEN branch: the
+    # only CASE WHEN in the projection is the tiny additive-zero pin
+    proj = [ln for ln in plan.splitlines() if "Project" in ln and "cos_sim" in ln]
+    assert proj, plan
+    assert "THEN 0.0" in proj[0] and "WHEN (monotonically_increasing_id" in proj[0], proj[0]
