@@ -62,3 +62,36 @@ def test_rejects_garbage(bad):
 )
 def test_fromisoformat_fallback_forms(s, expect):
     assert parse_flexible_date(s) == expect
+
+
+def test_cc_groundtruth_union_find_matches_recursive_cte():
+    """The scale-checkable CC oracle (tools/check_cc_groundtruth.py)
+    replaces the DuckDB transitive-closure recursion — quadratic in
+    component size, 30+ min at the sf10 replica — with a driver-side
+    union-find over the SAME banded edge list.  Pin the two labelings
+    identical at sf0.01 so the substituted oracle stays a faithful
+    stand-in."""
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+    )
+    import check_cc_groundtruth as G
+    from lab_flink_repository_analytics_spark.queries import suite
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE OR REPLACE VIEW documents AS "
+        "SELECT * FROM '/root/testdata/sf0.01/documents.parquet'"
+    )
+    edges = con.sql(G._PAIRS_SQL).fetchall()
+    doc_ids = [r[0] for r in con.sql("SELECT doc_id FROM documents").fetchall()]
+    labels = dict(G.union_find_labels(doc_ids, edges))
+    ref = dict(con.sql(suite._dedup_clusters_sql()).fetchall())
+    assert labels == ref and len(labels) == len(doc_ids) > 0
+    # non-trivial clustering: at least one real (multi-doc) component
+    assert len(set(labels.values())) < len(doc_ids)
