@@ -24,12 +24,32 @@ THRESHOLD = 1.5
 MIN_SECONDS = 0.5
 
 
+def _canary_median(d: dict) -> float | None:
+    """Pooled canary median from an artifact that carries the round-9
+    host-speed canary (``canary_start``/``canary_end`` from bench.py /
+    tools/time_queries.py, possibly nested under ``parsed``).  The mean
+    of the two medians estimates host speed across the run."""
+    for src in (d, d.get("parsed") or {}):
+        cs, ce = src.get("canary_start"), src.get("canary_end")
+        if isinstance(cs, dict) and isinstance(ce, dict):
+            try:
+                return (float(cs["median"]) + float(ce["median"])) / 2.0
+            except (KeyError, TypeError, ValueError):
+                pass
+    return None
+
+
 def _extract_queries(d: dict) -> dict[str, float]:
     """Per-query seconds from either bench.py's own JSON line
     (``{"queries": {...}}``) or the driver's wrapper artifact, whose
     ``tail`` holds the (possibly front-truncated) stdout."""
     if isinstance(d.get("queries"), dict):
-        return d["queries"]
+        q = d["queries"]
+        # tolerate the BENCH_SEQ_* per-query stat dicts: use the median
+        return {
+            k: (float(v["median"]) if isinstance(v, dict) else float(v))
+            for k, v in q.items()
+        }
     parsed = d.get("parsed")
     if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
         return parsed["queries"]
@@ -86,13 +106,26 @@ def main() -> int:
     print(f"bench_compare: {os.path.basename(old_p)} -> {os.path.basename(new_p)}")
     print(f"  total: {sum(oq.values()):.1f}s -> {sum(nq.values()):.1f}s  "
           f"({len(oq)} -> {len(nq)} queries)")
+    # HOST-SPEED NORMALIZATION (round 9): when both artifacts carry the
+    # canary, per-query ratios are divided by the canary ratio first —
+    # ambient host drift (measured swinging 1.43× within a single run,
+    # BENCH_COMPARE_r09.md) otherwise reads as a uniform fake regression.
+    co, cn = _canary_median(old), _canary_median(new)
+    host = None
+    if co and cn:
+        host = cn / co
+        print(f"  canary: {co:.3f}s -> {cn:.3f}s (host ratio {host:.2f}x; "
+              f"per-query ratios normalized by it)")
+    else:
+        print("  canary: absent in one/both artifacts — ratios UNNORMALIZED "
+              "(host drift indistinguishable from regression)")
     regressions = []
     improvements = []
     for name in common:
         a, b = oq[name], nq[name]
         if a <= 0:
             continue
-        ratio = b / a
+        ratio = (b / a) / host if host else b / a
         if b >= MIN_SECONDS and ratio > threshold:
             regressions.append((ratio, name, a, b))
         elif a >= MIN_SECONDS and ratio < 1 / threshold:
