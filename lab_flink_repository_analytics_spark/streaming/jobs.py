@@ -242,15 +242,17 @@ def value_histogram_stream(
     keys = keys or ["event_type"]
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        # crash-safe merge via the upsert sink's rename swap (round 9 —
+        # the pre-r9 form double-wrote tmp→store with a corruption window
+        # between the two overwrites): one data write + two atomic
+        # renames, with recovery salvaging any crashed predecessor
         spark = batch_df.sparkSession
+        sinks._recover_swap(spark, store_path)
         h = SK.value_histogram(batch_df, value_col, keys, lo, hi, bins)
         if sinks._exists(spark, store_path):
             existing = spark.read.parquet(store_path)
             h = SK.merge_histograms(existing, h)
-        tmp = store_path.rstrip("/") + "._tmp"
-        h.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(store_path)
-        sinks._rm(spark, tmp)
+        sinks._swap_in(spark, h, store_path)
 
     writer = (
         events.writeStream.outputMode("append")
@@ -286,7 +288,10 @@ def word_topk_stream(
     from lab_flink_repository_analytics_spark.io import sinks
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        # crash-safe merge via the upsert sink's rename swap (round 9;
+        # see value_histogram_stream._merge)
         spark = batch_df.sparkSession
+        sinks._recover_swap(spark, store_path)
         counts = (
             batch_df.select(F.explode(F.split(text_col, " ")).alias("word"))
             .groupBy("word")
@@ -299,10 +304,7 @@ def word_topk_stream(
                 .groupBy("word")
                 .agg(F.sum("cnt").alias("cnt"))
             )
-        tmp = store_path.rstrip("/") + "._tmp"
-        counts.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(store_path)
-        sinks._rm(spark, tmp)
+        sinks._swap_in(spark, counts, store_path)
 
     writer = (
         docs.writeStream.outputMode("append")

@@ -1787,3 +1787,72 @@ def test_streaming_ewma_restart_resume_sf001(spark, tmp_path):
     assert any(
         mid.get(u, (0, None))[0] < n for u, (n, _) in streamed.items()
     ) and len(mid) > 0
+
+
+def test_word_topk_store_recovers_from_mid_swap_crash(spark, tmp_path):
+    # round 9: the counter-store merge now rides the upsert sink's
+    # crash-safe rename swap (the old form double-wrote tmp→store with a
+    # corruption window between the overwrites).  Simulate a crash
+    # BETWEEN the two renames — store displaced to ._old, committed merge
+    # complete in ._tmp — and verify the next run salvages the committed
+    # copy and keeps counting on top of it.
+    import shutil
+
+    src = str(tmp_path / "docs")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        q = jobs.word_topk_stream(
+            spark.readStream.schema("doc_id long, text string").parquet(src),
+            store, ck,
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(1, "a b a"), (2, "b c")], "doc_id long, text string").write.parquet(src)
+    run()
+    # mid-swap crash state: ._old = pre-merge garbage, ._tmp = the
+    # committed post-batch-1 store
+    shutil.move(store, store + "._tmp")
+    spark.createDataFrame([("stale", 99)], "word string, cnt long").write.parquet(store + "._old")
+    spark.createDataFrame([(3, "a d d d")], "doc_id long, text string").write.mode("append").parquet(src)
+    run()
+    got = {(r["word"], r["cnt"]) for r in jobs.read_topk(spark, store, 10).collect()}
+    assert got == {("a", 3), ("d", 3), ("b", 2), ("c", 1)}
+    import os
+
+    assert not os.path.exists(store + "._tmp") and not os.path.exists(store + "._old")
+
+
+def test_value_histogram_store_ignores_aborted_tmp(spark, tmp_path):
+    # aborted tmp write (no _SUCCESS): the histogram merge must leave the
+    # healthy store alone and not read the garbage
+    import os
+
+    import lab_flink_repository_analytics_spark.datapipe.sketches as SK
+
+    src = str(tmp_path / "vals")
+    store = str(tmp_path / "hist")
+    schema = "event_type string, value double"
+    spark.createDataFrame([("a", 5.0), ("a", 15.0)], schema).write.parquet(src)
+
+    def run():
+        q = jobs.value_histogram_stream(
+            spark.readStream.schema(schema).parquet(src),
+            store, str(tmp_path / "ck"), lo=0.0, hi=100.0, bins=10,
+        )
+        q.awaitTermination(120)
+
+    run()
+    os.makedirs(store + "._tmp")
+    with open(store + "._tmp/part-garbage.parquet", "wb") as f:
+        f.write(b"not parquet")
+    spark.createDataFrame([("a", 25.0)], schema).write.mode("append").parquet(src)
+    run()
+    got = spark.read.parquet(store)
+    expected = SK.value_histogram(
+        spark.createDataFrame([("a", 5.0), ("a", 15.0), ("a", 25.0)], schema),
+        "value", ["event_type"], 0.0, 100.0, bins=10,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+    assert not os.path.exists(store + "._tmp")
