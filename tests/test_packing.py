@@ -150,3 +150,38 @@ def test_first_fit_segment_tree_scales():
     assert not any(oversize)
     assert max(bins) + 1 >= sum(sizes) // 256  # capacity lower bound
     assert dt < 10, f"segment-tree pack took {dt:.1f}s for 200k items"
+
+
+def test_ffd_groundtruth_replay_matches_sql_fold():
+    """tools/check_ffd_groundtruth.py replaces the oracle's ~cubic
+    ``list_reduce`` fold (2273s at sf1) with a numpy naive first-fit
+    replay.  Pin the replay's per-shard bin counts equal to the SQL
+    fold's at sf0.01 so the substituted oracle stays a faithful
+    stand-in."""
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+    )
+    import check_ffd_groundtruth as G
+    from lab_flink_repository_analytics_spark.queries import analytics_extra
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE OR REPLACE VIEW documents AS "
+        "SELECT * FROM '/root/testdata/sf0.01/documents.parquet'"
+    )
+    sizes = con.sql(G._SIZES_SQL).df()
+    mine = {
+        shard: G.first_fit_bins(grp["n_tokens"].to_numpy())
+        for shard, grp in sizes.groupby("shard", sort=True)
+    }
+    ref = {
+        r[0]: r[1]
+        for r in con.sql(analytics_extra.FFD_PACKING_SQL).fetchall()
+    }
+    assert mine == ref and len(mine) == 5
