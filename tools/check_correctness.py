@@ -98,6 +98,16 @@ def main():
         del args[i : i + 2]
     normalize = _driver_normalize if driver_mirror else _normalize
     sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    # --exclude NAME (repeatable): skip queries whose oracle is replaced
+    # by a faster ground-truth tool at big scale factors (ffd →
+    # check_ffd_groundtruth.py, CC family → check_cc_groundtruth.py); the
+    # skipped names are recorded in the JSON so an excluded query can
+    # never silently read as green
+    excluded = []
+    while "--exclude" in args:
+        i = args.index("--exclude")
+        excluded.append(args[i + 1])
+        del args[i : i + 2]
     only = set(args)
     report: dict[str, dict] = {}
 
@@ -132,6 +142,9 @@ def main():
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in excluded:
+            report[name] = {"skipped": "excluded (checked by ground-truth tool)"}
             continue
         t0 = time.time()
         try:
