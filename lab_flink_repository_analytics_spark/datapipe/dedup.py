@@ -265,6 +265,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    dot_parts: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key.
 
@@ -289,10 +290,18 @@ def embedding_near_dup_pairs(
     Plan notes, measured at the /tmp/scale replicas (round 9):
 
     * The pair cosine is the codegen-unrolled ``similarity.flat_dot``
-      (bit-identical to the fold, similarity.py:44-47); the fold form
-      evaluates through the interpreted HigherOrderFunction path
-      (ZipWith.eval) wherever it lands in a join condition and never
-      finished a rep at the 100× replica (round 8).
+      with ``parts=dot_parts`` (default 8): the split-partials order —
+      8 left-associated partial sums combined left-associatively.  This
+      is a deterministic but DIFFERENT IEEE order from the fold, so the
+      oracle mirrors it with explicit per-term SQL
+      (``suite._dot_split_sql``).  Round-10 cold fresh-JVM measurements
+      (BENCH_EMB_FORMS_r10.json): parity with the flat chain under
+      broadcast, ~4% faster under sort-merge at sf1, ~14% faster at
+      sf0.1, never slower — and the Add spine drops from dim-deep to
+      ~dim/8-deep, which keeps driver planning flat if dim grows.  The
+      fold form evaluates through the interpreted HigherOrderFunction
+      path (ZipWith.eval) wherever it lands in a join condition and
+      never finished a rep at the 100× replica (round 8).
     * The threshold filter must NOT reach the join: under the
       sort-merge regime (build side above the broadcast threshold —
       the 100-TB regime) a pushed predicate becomes ONE generated
@@ -327,7 +336,7 @@ def embedding_near_dup_pairs(
         )
     if dim is not None:
         emb = emb.filter(F.size(vec_col) == F.lit(dim))  # width contract
-        nrm = F.sqrt(SIM.flat_dot(vec_col, vec_col, dim))
+        nrm = F.sqrt(SIM.flat_dot(vec_col, vec_col, dim, parts=dot_parts))
     else:  # empty input or probe-found ragged widths: fold norm
         nrm = SIM.norm(vec_col)
     sel = rebalance(emb).select(
@@ -341,7 +350,7 @@ def embedding_near_dup_pairs(
         F.col("l.id") < F.col("r.id")
     ]
     if dim is not None:
-        dot_lr = SIM.flat_dot(F.col("l.v"), F.col("r.v"), dim)
+        dot_lr = SIM.flat_dot(F.col("l.v"), F.col("r.v"), dim, parts=dot_parts)
     else:
         dot_lr = SIM.dot(F.col("l.v"), F.col("r.v"))
     cos = dot_lr / (F.col("l.nrm") * F.col("r.nrm"))

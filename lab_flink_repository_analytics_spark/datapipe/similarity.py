@@ -30,7 +30,7 @@ def norm(a: Column | str) -> Column:
     return F.sqrt(dot(a, a))
 
 
-def flat_dot(a: Column | str, b: Column | str, dim: int) -> Column:
+def flat_dot(a: Column | str, b: Column | str, dim: int, parts: int = 1) -> Column:
     """Bit-identical to :func:`dot` for ``dim``-wide arrays, unrolled as a
     flat left-associated sum of ``a[i]·b[i]`` terms.
 
@@ -41,19 +41,45 @@ def flat_dot(a: Column | str, b: Column | str, dim: int) -> Column:
     98M-pair join itself took 1.7s).  A fixed-width chain of GetArrayItem
     · cast · multiply · add compiles into the surrounding codegen stage.
 
-    Exactness: ``((x0·y0 + x1·y1) + x2·y2) + …`` is the same IEEE double
-    sequence as the fold's ``((0.0 + x0·y0) + x1·y1) + …`` because
-    ``0.0 + x == x`` for every non-NaN double — so swapping it in changes
-    no result hash, and the DuckDB oracles keep their ``list_sum`` form.
-    Requires the physical array width; callers probe it from the data
-    (``F.size``) and fall back to :func:`dot` when unknown.
+    Exactness (``parts=1``): ``((x0·y0 + x1·y1) + x2·y2) + …`` is the same
+    IEEE double sequence as the fold's ``((0.0 + x0·y0) + x1·y1) + …``
+    because ``0.0 + x == x`` for every non-NaN double — so swapping it in
+    changes no result hash, and the DuckDB oracles keep their
+    ``list_sum`` form.  Requires the physical array width; callers probe
+    it from the data (``F.size``) and fall back to :func:`dot` when
+    unknown.
+
+    ``parts>1`` — split-partials order: the terms are grouped into
+    ``parts`` consecutive left-associated partial sums, combined
+    left-associatively at the top (``(p0 + p1) + p2 …``).  This is a
+    DIFFERENT (still fully deterministic) IEEE summation order from the
+    fold, so any oracle grading a ``parts>1`` site must mirror it with
+    explicit per-term SQL (see ``queries/suite._dot_split_sql``), not
+    ``list_sum``.  Why bother: the ``parts=1`` chain is one ~64-deep
+    left-leaning Add spine — Catalyst's per-rule tree transforms walk it
+    superlinearly (a measured ~2.3s fixed driver-planning floor per call
+    at dim=64) and whole-stage codegen emits it as one straight-line
+    block.  The split shape is ~8 deep, plans in a fraction of the time,
+    and gives codegen natural subexpression boundaries; round-10
+    measurements (BENCH_EMB_FORMS_r10.json) show it strictly faster under
+    both broadcast and sort-merge join regimes at every scale tried.
     """
     a, b = _c(a), _c(b)
-    acc = None
-    for i in range(dim):
-        t = a.getItem(i).cast("double") * b.getItem(i).cast("double")
-        acc = t if acc is None else acc + t
-    return F.lit(0.0) if acc is None else acc
+    if dim <= 0:
+        return F.lit(0.0)
+    parts = max(1, min(parts, dim))
+    chunk = -(-dim // parts)  # ceil — last partial may be short
+    partials: list[Column] = []
+    for start in range(0, dim, chunk):
+        acc = None
+        for i in range(start, min(start + chunk, dim)):
+            t = a.getItem(i).cast("double") * b.getItem(i).cast("double")
+            acc = t if acc is None else acc + t
+        partials.append(acc)
+    total = partials[0]
+    for p in partials[1:]:
+        total = total + p
+    return total
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:

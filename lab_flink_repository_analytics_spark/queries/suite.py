@@ -992,6 +992,33 @@ def _dot_sql(a: str, b: str) -> str:
     return f"list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
 
 
+# Width contract of the `embeddings` table: every driver-generated
+# embeddings.parquet (sf0.001 → sf10 and the /tmp/scale replicas) carries
+# uniform 64-wide vectors.  Queries take the width from this contract so
+# building their DataFrame stays pure plan construction (no probe job);
+# rows violating the contract are dropped by the pre-join width filter in
+# `dedup.embedding_near_dup_pairs` — the same fate ragged pairs meet under
+# the fold form.
+EMBEDDING_DIM = 64
+
+
+def _dot_split_sql(a: str, b: str, dim: int = EMBEDDING_DIM, parts: int = 8) -> str:
+    """Explicit per-term dot product in the SPLIT-PARTIALS order of
+    ``similarity.flat_dot(..., parts=8)``: ``parts`` consecutive
+    left-associated partial sums, combined left-associatively.  Spelled
+    out term-by-term (1-based DuckDB indexing) rather than via
+    ``list_sum`` so the oracle's IEEE addition order is pinned by SQL's
+    own left-associative ``+`` — no reliance on list_sum internals."""
+    chunk = -(-dim // parts)
+    groups = []
+    for start in range(0, dim, chunk):
+        terms = [
+            f"{a}[{i + 1}]*{b}[{i + 1}]" for i in range(start, min(start + chunk, dim))
+        ]
+        groups.append("(" + " + ".join(terms) + ")")
+    return "(" + " + ".join(groups) + ")"
+
+
 def _norm_sql(a: str) -> str:
     return f"sqrt({_dot_sql(a, a)})"
 
@@ -1088,26 +1115,27 @@ FROM (
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by label.
 
-    The width is probed from ONE row (a single-split one-row scan, ~ms)
-    and passed as the ``dim`` contract — the function then enforces it
-    per row (mismatched widths get NULL norms and drop, like ragged pairs
-    under the fold form) instead of running its own eager full-input
-    min/max width pass per call (round-9 advisor fix)."""
+    The width comes from the :data:`EMBEDDING_DIM` table contract, so
+    building this DataFrame is pure plan construction — no probe job
+    fires before the first action (round-9 verdict task 2; previously a
+    one-row ``.first()`` probe ran eagerly, and — advisor note — its
+    pick-an-arbitrary-row width silently defined which rows survived on
+    ragged data).  Contract semantics: any row whose width is not
+    EMBEDDING_DIM is dropped pre-join with all its pairs; driver-generated
+    data is uniformly 64-wide, so the filter is a no-op there."""
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
-    one = emb.select(F.size("embedding").alias("d")).first()
-    dim = int(one["d"]) if one is not None and one["d"] is not None else None
     return DD.embedding_near_dup_pairs(
-        emb, ["label"], threshold=0.3, dim=dim
+        t["embeddings"], ["label"], threshold=0.3, dim=EMBEDDING_DIM
     )
 
 
 EMBEDDING_NEAR_DUP_SQL = f"""
-WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-e AS (SELECT vec_id, label, v, {_norm_sql("v")} AS nrm FROM e0),
+WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE len(embedding) = {EMBEDDING_DIM}),
+e AS (SELECT vec_id, label, v, sqrt({_dot_split_sql("v", "v")}) AS nrm FROM e0),
 scored AS (
   SELECT l.vec_id AS id_a, r.vec_id AS id_b,
-         round({_dot_sql("l.v", "r.v")} / (l.nrm * r.nrm), 6) AS cos_sim
+         round({_dot_split_sql("l.v", "r.v")} / (l.nrm * r.nrm), 6) AS cos_sim
   FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id
 )
 SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.3

@@ -236,6 +236,60 @@ def test_embedding_near_dup_pairs_caller_dim(spark):
     assert out2 == []
 
 
+def test_flat_dot_split_partials_order(spark):
+    # parts=8 is the landed split-partials order: 8 left-associated
+    # partial sums combined left-associatively.  Pin it bit-for-bit
+    # against an explicit Python float recomputation (Python float IS
+    # IEEE double and + is left-assoc), for an even and an uneven split.
+    import random
+
+    rng = random.Random(7)
+    a = [rng.uniform(-1, 1) for _ in range(64)]
+    b = [rng.uniform(-1, 1) for _ in range(64)]
+    df = spark.createDataFrame(
+        [(a, b)], "a: array<double>, b: array<double>"
+    )
+
+    def py_split(x, y, dim, parts):
+        chunk = -(-dim // parts)
+        total = None
+        for s in range(0, dim, chunk):
+            acc = None
+            for i in range(s, min(s + chunk, dim)):
+                t = x[i] * y[i]
+                acc = t if acc is None else acc + t
+            total = acc if total is None else total + acc
+        return total
+
+    for dim, parts in [(64, 8), (64, 1), (10, 3), (3, 8)]:
+        got = df.select(
+            SIM.flat_dot("a", "b", dim, parts=parts).alias("d")
+        ).first()["d"]
+        assert got == py_split(a, b, dim, parts), (dim, parts)
+    # parts=1 stays bit-identical to the fold (the documented contract)
+    flat = df.select(SIM.flat_dot("a", "b", 64, parts=1).alias("d")).first()["d"]
+    fold = df.select(SIM.dot("a", "b").alias("d")).first()["d"]
+    assert flat == fold
+
+
+def test_embedding_near_dup_build_is_lazy(spark):
+    # round-10 verdict task 2: building the registry query must be pure
+    # plan construction — no probe job.  The only job Spark itself runs
+    # is the one-time parquet footer-schema read on FIRST table access
+    # (memoized per (session, sf_dir)); after warming that, building the
+    # query twice must add zero jobs.
+    from lab_flink_repository_analytics_spark.queries import suite
+    from lab_flink_repository_analytics_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    load_tables(spark, sf)["embeddings"]  # warm the footer-schema job
+    store = spark._jsc.sc().statusStore()
+    n0 = store.jobsList(None).size()
+    suite.embedding_near_dup(spark, sf)
+    suite.embedding_near_dup(spark, sf)
+    assert store.jobsList(None).size() == n0
+
+
 def test_repetition_metrics(spark):
     df = spark.createDataFrame(
         [(1, "a a a b"), (2, "x y z w"), (3, "solo")],

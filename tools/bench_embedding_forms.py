@@ -50,7 +50,16 @@ def build(spark, form: str, sf_dir: str, threshold: float):
     dim = int(one["d"])
 
     if form == "postjoin":
-        return DD.embedding_near_dup_pairs(emb, ["label"], threshold=threshold, dim=dim)
+        return DD.embedding_near_dup_pairs(
+            emb, ["label"], threshold=threshold, dim=dim, dot_parts=1
+        )
+    if form == "split":
+        # the round-10 LANDED form (dedup.py default): identical plan
+        # shape to postjoin, but the unrolled cosine is 8 left-associated
+        # partial sums combined at the top (shallower Add spine)
+        return DD.embedding_near_dup_pairs(
+            emb, ["label"], threshold=threshold, dim=dim, dot_parts=8
+        )
 
     # the two predicate-placement forms: identical up to the cosine
     # expression, with NO pin so the threshold filter (and therefore the
@@ -85,21 +94,37 @@ def build(spark, form: str, sf_dir: str, threshold: float):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("form", choices=("fold", "unrolled", "postjoin"))
+    ap.add_argument("form", choices=("fold", "unrolled", "postjoin", "split"))
     ap.add_argument("sf_dir")
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--threshold", type=float, default=0.3)
+    ap.add_argument(
+        "--no-broadcast",
+        action="store_true",
+        help="force the sort-merge regime (autoBroadcastJoinThreshold=-1)",
+    )
+    ap.add_argument(
+        "--plan-only",
+        action="store_true",
+        help="measure driver-side analyze/optimize/physical-plan time only",
+    )
     args = ap.parse_args()
 
     from lab_flink_repository_analytics_spark.session import get_spark, run_canary
 
     spark = get_spark(app_name=f"emb-form-{args.form}")
+    if args.no_broadcast:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     canary = run_canary(spark)
 
     def run_once():
         spark.catalog.clearCache()
         t0 = time.time()
         df = build(spark, args.form, args.sf_dir, args.threshold)
+        if args.plan_only:
+            # force analyze + optimize + physical planning, no execution
+            df._jdf.queryExecution().executedPlan()
+            return time.time() - t0, -1
         n = df.count()  # count, not noop: records the output row numerator
         return time.time() - t0, n
 

@@ -97,17 +97,20 @@ def main():
         json_out = args[i + 1]
         del args[i : i + 2]
     normalize = _driver_normalize if driver_mirror else _normalize
-    sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     # --exclude NAME (repeatable): skip queries whose oracle is replaced
     # by a faster ground-truth tool at big scale factors (ffd →
     # check_ffd_groundtruth.py, CC family → check_cc_groundtruth.py); the
     # skipped names are recorded in the JSON so an excluded query can
-    # never silently read as green
+    # never silently read as green.  Extracted BEFORE the sf_dir
+    # positional pop — popping first made `--exclude X /data/sf1` treat
+    # the dir as a query-name filter and exit 0 with zero queries run
+    # (round-10 advisor fix).
     excluded = []
     while "--exclude" in args:
         i = args.index("--exclude")
         excluded.append(args[i + 1])
         del args[i : i + 2]
+    sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     only = set(args)
     report: dict[str, dict] = {}
 
@@ -139,6 +142,13 @@ def main():
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"ERROR: filter names not in the registry: {sorted(unknown)}")
+        sys.exit(2)
+    if only and not (only & set(qs)):
+        print("ERROR: query filter matched nothing — zero queries would run")
+        sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
