@@ -8,6 +8,14 @@ table, flagging queries slower by more than ``THRESHOLD``× (default
 signals "regressions flagged" for callers that want to gate on it.
 
 Usage: python tools/bench_compare.py [old.json new.json] [--threshold 1.5]
+           [--gate]
+
+``--gate`` (round-10 verdict task 5): same comparison, but regressions
+become a HARD failure (exit 2) instead of a report — ci.sh runs this
+after the bench step so a real canary-normalized per-query slowdown
+fails the gate instead of scrolling by.  Without canaries in both
+artifacts the gate still applies to the raw ratio (host drift then
+indistinguishable from regression — the message says so).
 """
 
 from __future__ import annotations
@@ -43,16 +51,21 @@ def _extract_queries(d: dict) -> dict[str, float]:
     """Per-query seconds from either bench.py's own JSON line
     (``{"queries": {...}}``) or the driver's wrapper artifact, whose
     ``tail`` holds the (possibly front-truncated) stdout."""
-    if isinstance(d.get("queries"), dict):
-        q = d["queries"]
+    def _norm(q: dict) -> dict[str, float]:
         # tolerate the BENCH_SEQ_* per-query stat dicts: use the median
         return {
             k: (float(v["median"]) if isinstance(v, dict) else float(v))
             for k, v in q.items()
         }
+
+    if isinstance(d.get("queries"), dict):
+        return _norm(d["queries"])
     parsed = d.get("parsed")
     if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
-        return parsed["queries"]
+        # same normalization as the direct form — a wrapper artifact
+        # carrying stat dicts used to flow raw into the ratio math and
+        # raise TypeError (round-10 advisor fix)
+        return _norm(parsed["queries"])
     tail = d.get("tail", "")
     # tolerate truncation: scrape every  "name": 1.234  pair in the tail
     pairs = re.findall(r'"([A-Za-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)\b', tail)
@@ -83,6 +96,8 @@ def _latest_two() -> tuple[str, str] | None:
 def main() -> int:
     args = [a for a in sys.argv[1:]]
     threshold = THRESHOLD
+    gate = "--gate" in args
+    args = [a for a in args if a != "--gate"]
     if "--threshold" in args:
         i = args.index("--threshold")
         threshold = float(args[i + 1])
@@ -141,6 +156,9 @@ def main() -> int:
     if not regressions:
         print(f"  no per-query regressions > {threshold}x")
         return 0
+    if gate:
+        print(f"  GATE FAILED: {len(regressions)} canary-normalized "
+              f"per-query regression(s) > {threshold}x")
     return 2
 
 

@@ -62,7 +62,10 @@ fi
 echo "=== [3/3] bench smoke (sf0.001) ==="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 python bench.py
 
-echo "=== [extra] bench regression compare (non-fatal) ==="
-python tools/bench_compare.py || true
+echo "=== [extra] bench regression gate (canary-normalized, fatal >1.5x) ==="
+# compares the two most recent driver BENCH_r*.json artifacts; a real
+# (canary-normalized) per-query slowdown now FAILS the gate instead of
+# scrolling by as a report (round-10 verdict task 5)
+python tools/bench_compare.py --gate
 
 echo "=== CI GATE: ALL GREEN ==="
