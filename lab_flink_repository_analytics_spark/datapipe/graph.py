@@ -74,6 +74,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     node_col: str = "node",
     max_iterations: int = 25,
+    instrument: list | None = None,
 ) -> DataFrame:
     """(node, component) for every node, component = min node id in its CC.
 
@@ -81,7 +82,16 @@ def connected_components(
     out as their own singleton components.  Label propagation: per round
     one join + one min-aggregation, lineage cut with localCheckpoint,
     early exit when no label changed.
+
+    ``instrument``: pass a list to receive one dict per round with wall
+    times of the round's two actions — ``checkpoint_sec`` (the eager
+    localCheckpoint, which materializes the join + min-agg AND writes the
+    checkpoint blocks; they are one job and cannot be timed apart without
+    computing twice) and ``probe_sec`` (the 1-row checksum collect).
+    Zero overhead when None (two time.time() calls per round otherwise);
+    used by tools/instrument_cc.py for the sf10 cost attribution.
     """
+    import time as _time
     bid = _bidirect(edges, src, dst)
     edge_nodes = bid.select(F.col("a").alias("node")).distinct()
     if nodes is not None:
@@ -107,6 +117,7 @@ def connected_components(
 
     prev = _checksum(labels)
     for _ in range(max_iterations):
+        t0 = _time.time()
         msgs = bid.join(
             labels, bid["a"] == labels["node"]
         ).select(F.col("b").alias("node"), "component")
@@ -116,7 +127,15 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
+        t1 = _time.time()
         cur = _checksum(labels)
+        if instrument is not None:
+            instrument.append(
+                {
+                    "checkpoint_sec": round(t1 - t0, 3),
+                    "probe_sec": round(_time.time() - t1, 3),
+                }
+            )
         if cur == prev:
             break
         prev = cur
