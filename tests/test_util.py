@@ -95,3 +95,35 @@ def test_cc_groundtruth_union_find_matches_recursive_cte():
     assert labels == ref and len(labels) == len(doc_ids) > 0
     # non-trivial clustering: at least one real (multi-doc) component
     assert len(set(labels.values())) < len(doc_ids)
+
+
+def test_tri_groundtruth_oriented_matches_direct_oracle():
+    """The scale-checkable triangles oracle (tools/check_tri_groundtruth
+    .py) swaps the direct undirected wedge join + EXISTS — which blew
+    past 17 min / 117 GB RSS at the sf10 replica — for the degree-ordered
+    oriented enumeration over the SAME edges CTE.  Pin the two DuckDB
+    results identical at sf0.01 so the substituted oracle stays a
+    faithful stand-in (both sides pure DuckDB; the Spark comparison is
+    the tool's job)."""
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+    )
+    import check_tri_groundtruth as G
+    from lab_flink_repository_analytics_spark.queries import analytics_extra as AX
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE OR REPLACE VIEW lineitem AS "
+        "SELECT * FROM '/root/testdata/sf0.01/lineitem.parquet'"
+    )
+    direct = con.sql(AX.TRIANGLES_SQL).fetchall()
+    oriented = con.sql(G.ORIENTED_TRI_SQL).fetchall()
+    assert direct == oriented and len(direct) == 1
+    # non-degenerate graph: triangles actually exist at this sf
+    assert direct[0][1] > 0
