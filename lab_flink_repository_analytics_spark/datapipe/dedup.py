@@ -350,7 +350,8 @@ def embedding_near_dup_pairs(
         F.col("l.id") < F.col("r.id")
     ]
     if dim is not None:
-        dot_lr = SIM.flat_dot(F.col("l.v"), F.col("r.v"), dim, parts=dot_parts)
+        # string names → flat_dot's one-parse expr construction path
+        dot_lr = SIM.flat_dot("l.v", "r.v", dim, parts=dot_parts)
     else:
         dot_lr = SIM.dot(F.col("l.v"), F.col("r.v"))
     cos = dot_lr / (F.col("l.nrm") * F.col("r.nrm"))

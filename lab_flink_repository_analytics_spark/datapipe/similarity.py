@@ -20,8 +20,43 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _lit_d(x: float) -> str:
+    """SQL text of a double literal with the EXACT bits of ``x``.
+
+    ``repr`` emits the shortest decimal string that round-trips to the
+    same IEEE double in any correctly-rounded parser — Spark's
+    string→DOUBLE cast included — so ``CAST('<repr>' AS DOUBLE)`` folds
+    to a literal bit-identical to ``F.lit(x)`` without a py4j call.
+    Non-finite values have engine-specific spellings; callers here only
+    inline finite model state (centroids, norms, eigenvectors)."""
+    import math
+
+    if not math.isfinite(x):
+        raise ValueError(f"non-finite literal not inlineable: {x!r}")
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _lit_array_d(vals) -> str:
+    """SQL text of an ARRAY<DOUBLE> literal (see :func:`_lit_d`)."""
+    return "array(" + ", ".join(_lit_d(float(v)) for v in vals) + ")"
+
+
+def _dot_text(a: str, b: str) -> str:
+    """SQL text of :func:`dot` — the IDENTICAL zip_with + left-fold
+    aggregate expression, built as one string so constructing a
+    k-centroid assignment costs one ``F.expr`` parse instead of
+    thousands of py4j round-trips (measured ~1s per 64-wide dot built
+    element-by-element from Python — pure driver-side chatter)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE)"
+        " * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     """Σ a_i·b_i as a left-to-right double fold (deterministic order)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_text(_quote_ident(a), _quote_ident(b)))
     prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
@@ -64,10 +99,20 @@ def flat_dot(a: Column | str, b: Column | str, dim: int, parts: int = 1) -> Colu
     measurements (BENCH_EMB_FORMS_r10.json) show it strictly faster under
     both broadcast and sort-merge join regimes at every scale tried.
     """
-    a, b = _c(a), _c(b)
     if dim <= 0:
         return F.lit(0.0)
     parts = max(1, min(parts, dim))
+    if isinstance(a, str) and isinstance(b, str):
+        # Fast construction path (round-10): the same expression tree
+        # built as ONE SQL string + one F.expr parse.  The element-wise
+        # py4j loop below costs ~1s of driver chatter per 64-wide call
+        # (measured; it was the bulk of embedding_near_dup's fixed
+        # "planning floor"); the parsed text analyzes to the identical
+        # GetArrayItem·Cast·Multiply·Add tree, so plans, codegen and
+        # result bits are unchanged.  Dotted names ("l.v") parse as
+        # qualified attribute references.
+        return F.expr(_flat_dot_text(a, b, dim, parts))
+    a, b = _c(a), _c(b)
     chunk = -(-dim // parts)  # ceil — last partial may be short
     partials: list[Column] = []
     for start in range(0, dim, chunk):
@@ -79,6 +124,32 @@ def flat_dot(a: Column | str, b: Column | str, dim: int, parts: int = 1) -> Colu
     total = partials[0]
     for p in partials[1:]:
         total = total + p
+    return total
+
+
+def _quote_ident(name: str) -> str:
+    """Backtick-quote a (possibly alias-qualified) column name for SQL
+    text: ``l.v`` → ``` `l`.`v` ``` — each dot-separated segment quoted,
+    so reserved words and underscore-leading names parse as references."""
+    return ".".join(f"`{p}`" for p in name.split("."))
+
+
+def _flat_dot_text(a: str, b: str, dim: int, parts: int) -> str:
+    """SQL text of the :func:`flat_dot` chain — explicit parentheses pin
+    the left-associated grouping of each partial and of the top-level
+    combine, so the parsed tree is the loop-built tree node for node."""
+    a, b = _quote_ident(a), _quote_ident(b)
+    chunk = -(-dim // parts)
+    groups: list[str] = []
+    for start in range(0, dim, chunk):
+        acc = None
+        for i in range(start, min(start + chunk, dim)):
+            t = f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))"
+            acc = t if acc is None else f"({acc} + {t})"
+        groups.append(acc)
+    total = groups[0]
+    for g in groups[1:]:
+        total = f"({total} + {g})"
     return total
 
 
@@ -232,6 +303,11 @@ def _inline_assignments(
     order as :func:`dot`, and ascending (-cs, cid) ≡ (cs DESC, cid)."""
     import math
 
+    # one expr-string parse for the whole k-centroid compare chain: the
+    # per-element py4j construction this replaces cost ~1s per centroid
+    # row of pure driver chatter (round-10 measurement) while producing
+    # the exact same analyzed tree — same fold order, same literals bit
+    # for bit (_lit_d), same (-cs, cid) struct compare
     entries = []
     for r in sorted(cent_rows, key=lambda r: r["cid"]):
         cv = [float(x) for x in r["cv"]]
@@ -239,12 +315,13 @@ def _inline_assignments(
         for x in cv:
             acc += x * x
         ncv = math.sqrt(acc)
-        lit_cv = F.array(*[F.lit(x) for x in cv])
-        cs = dot(F.col("v"), lit_cv) / (F.col("_nv") * F.lit(ncv))
+        cs = f"({_dot_text('`v`', _lit_array_d(cv))} / (`_nv` * {_lit_d(ncv)}))"
         entries.append(
-            F.struct((-cs).alias("negcs"), F.lit(int(r["cid"])).alias("cid"))
+            f"named_struct('negcs', -{cs}, 'cid', {int(r['cid'])})"
         )
-    ranked = F.slice(F.array_sort(F.array(*entries)), 1, n_best)
+    ranked = F.expr(
+        f"slice(array_sort(array({', '.join(entries)})), 1, {int(n_best)})"
+    )
     return (
         vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .withColumn("_nv", norm(F.col("v")))
@@ -355,20 +432,21 @@ def hierarchical_assignments(
         # identical compare chain to _inline_assignments
         return _inline_assignments(vectors, rows, 1, id_col, vec_col)
 
-    def _sup_entries(vec: Column, nv: Column) -> Column:
+    def _sup_entries(vec_sql: str, nv_sql: str) -> Column:
+        # expr-string construction (round-10): same tree as the former
+        # per-element py4j build, one parse — see _inline_assignments
         entries = []
         for sid, sv, ns in supers:
-            lit_sv = F.array(*[F.lit(x) for x in sv])
-            cs = dot(vec, lit_sv) / (nv * F.lit(ns))
-            entries.append(
-                F.struct((-cs).alias("negcs"), F.lit(sid).alias("sid"))
-            )
-        return F.element_at(F.array_sort(F.array(*entries)), 1)["sid"]
+            cs = f"({_dot_text(vec_sql, _lit_array_d(sv))} / ({nv_sql} * {_lit_d(ns)}))"
+            entries.append(f"named_struct('negcs', -{cs}, 'sid', {int(sid)})")
+        return F.expr(
+            f"element_at(array_sort(array({', '.join(entries)})), 1)['sid']"
+        )
 
     base = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).withColumn("_nv", norm(F.col("v")))
-    best_sid = _sup_entries(F.col("v"), F.col("_nv"))
+    best_sid = _sup_entries("`v`", "`_nv`")
 
     scored = F.transform(
         F.col("_cands"),
@@ -410,15 +488,14 @@ def hierarchical_assignments(
             for r in buckets[sid]:
                 cv = [float(x) for x in r["cv"]]
                 arr.append(
-                    F.struct(
-                        F.lit(int(r["cid"])).alias("cid"),
-                        F.array(*[F.lit(x) for x in cv]).alias("cv"),
-                        F.lit(math.sqrt(_pydot(cv, cv))).alias("ncv"),
-                    )
+                    f"named_struct('cid', {int(r['cid'])},"
+                    f" 'cv', {_lit_array_d(cv)},"
+                    f" 'ncv', {_lit_d(math.sqrt(_pydot(cv, cv)))})"
                 )
-            map_args += [F.lit(sid), F.array(*arr)]
+            map_args += [str(int(sid)), "array(" + ", ".join(arr) + ")"]
+        cand_map = F.expr("map(" + ", ".join(map_args) + ")")
         return pick(
-            base.withColumn("_cands", F.element_at(F.create_map(*map_args), best_sid))
+            base.withColumn("_cands", F.element_at(cand_map, best_sid))
         )
 
     # distributed bucket build: route every centroid to its super with
@@ -427,7 +504,7 @@ def hierarchical_assignments(
     cw = cent.withColumn("_nc", norm(F.col("cv")))
     cent_sid = F.when(
         F.col("cid").isin(*[int(s) for s in super_ids]), F.col("cid")
-    ).otherwise(_sup_entries(F.col("cv"), F.col("_nc")))
+    ).otherwise(_sup_entries("`cv`", "`_nc`"))
     bucket = (
         cw.select(
             cent_sid.alias("sid"),
@@ -1095,22 +1172,16 @@ def pca_project(
             ).collect()[0]
         )
     ]
-    mean_lit = F.array(*[F.lit(m) for m in mean])
-    centered = F.zip_with(
-        F.col(vec_col), mean_lit, lambda x, m: x.cast("double") - m
+    # expr-string construction (round-10): same tree, one parse — see
+    # _inline_assignments for the measured py4j-loop cost this replaces
+    centered = (
+        f"zip_with(`{vec_col}`, {_lit_array_d(mean)},"
+        " (x, m) -> CAST(x AS DOUBLE) - m)"
     )
-    coords = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    centered,
-                    F.array(*[F.lit(x) for x in comp]),
-                    lambda x, w: x * w,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for comp in comps
-        ]
-    )
+    coord_texts = [
+        f"aggregate(zip_with({centered}, {_lit_array_d(comp)},"
+        " (x, w) -> x * w), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        for comp in comps
+    ]
+    coords = F.expr("array(" + ", ".join(coord_texts) + ")")
     return vectors.select(F.col(id_col).alias(id_col), coords.alias("pc"))

@@ -242,7 +242,15 @@ def random_projection_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t["embeddings"]
     dim, planes = 64, 8
     signs = _srp_signs(planes, dim)
-    matrix = F.array(*[F.array(*[F.lit(float(s)) for s in row]) for row in signs])
+    # one expr-string parse for the 8×64 literal matrix (round-10): the
+    # former per-element F.lit loop cost ~1s of py4j chatter per build
+    from lab_flink_repository_analytics_spark.datapipe.similarity import (
+        _lit_array_d,
+    )
+
+    matrix = F.expr(
+        "array(" + ", ".join(_lit_array_d(map(float, row)) for row in signs) + ")"
+    )
     projs = F.transform(
         F.sequence(F.lit(1), F.lit(planes)),
         lambda j: F.aggregate(
