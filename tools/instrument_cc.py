@@ -4,18 +4,13 @@
 
 Runs the EXACT dedup_clusters edge construction (MinHash-LSH candidate
 pairs over `documents`) and the real ``graph.connected_components`` loop
-with its ``instrument`` hook, then prints one JSON line attributing each
-round's wall time to:
-
-* ``checkpoint_sec`` — the eager localCheckpoint: materializes the
-  round's join + min-agg AND writes the checkpoint blocks (one job;
-  splitting them would require computing the round twice)
-* ``probe_sec``      — the 1-row label-checksum collect that detects the
-  fixpoint
-
-plus the one-off setup costs (edge build + bidirect/labels checkpoints,
-timed as ``setup_sec``).  Use at /tmp/scale/sf10 to quantify what the
-per-round lineage truncation actually costs at the 100x replica.
+with its ``instrument`` hook, then prints one JSON line with each
+round's ``round_sec`` — the wall time of the round's single job (join +
+min-agg + non-eager checkpoint block write + 1-row checksum, one action
+per round since round 10) — plus the one-off setup costs (edge build +
+bid checkpoint + labels init, timed as ``setup_sec``).  Use at
+/tmp/scale/sf10 to quantify what the per-round lineage truncation
+actually costs at the 100x replica.
 
 Usage: python tools/instrument_cc.py [sf_dir]
 """
@@ -63,7 +58,7 @@ def main() -> None:
     n_labels = labels.count()
     n_clusters = labels.select("component").distinct().count()
 
-    per_round = sum(r["checkpoint_sec"] + r["probe_sec"] for r in rounds)
+    per_round = sum(r["round_sec"] for r in rounds)
     out = {
         "sf_dir": sf_dir,
         "rows_labeled": n_labels,
@@ -72,8 +67,7 @@ def main() -> None:
         "n_rounds": len(rounds),
         "total_cc_sec": round(total, 2),
         "setup_sec": round(total - per_round, 2),
-        "sum_checkpoint_sec": round(sum(r["checkpoint_sec"] for r in rounds), 2),
-        "sum_probe_sec": round(sum(r["probe_sec"] for r in rounds), 2),
+        "sum_round_sec": round(per_round, 2),
         "canary": canary,
         "wall_sec": round(time.time() - t_start, 2),
     }
