@@ -47,6 +47,27 @@ def md5_hash32(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(_c(col)), 1, 8), 16, 10).cast("bigint")
 
 
+def gram_strings(text: Column | str, k: int) -> Column:
+    """Ordered, duplicate-preserving k-token grams as ARRAY<STRING> —
+    element i IS the gram starting at token position i, so
+    ``posexplode`` recovers positions for interval math.
+
+    Lookahead-capture regex (`(?:^| )(?=(tok tok ...))`), the same
+    codegen-resident construction as :func:`~...dedup.shingles` and
+    :func:`winnow_fingerprints_df`.  On the single-space-normalized text
+    the ``tokens()`` contract assumes, each gram string equals
+    ``concat_ws(' ', tokens[i..i+k-1])`` exactly — the round-10 rewrite
+    of the gram family swapped the per-position interpreted
+    ``transform(sequence(...), element_at...)`` lambdas (measured
+    ~35 µs/gram of pure HOF/eval overhead at sf0.1) for this form with
+    hashing moved AFTER the explode into the codegen projection.
+    Documents shorter than k tokens yield an empty array (no match has k
+    tokens of lookahead), exactly like the former ``n >= k`` guard.
+    """
+    pat = "(?:^| )(?=(" + " ".join(["[^ ]+"] * k) + "))"
+    return F.regexp_extract_all(_c(text), F.lit(pat), 1)
+
+
 def md5_hash60(col: Column | str) -> Column:
     """Portable 60-bit hash (first 15 md5 hex chars): for operators where
     32-bit collision mass would corrupt the SIGNAL at corpus scale (e.g.
@@ -384,29 +405,24 @@ def boilerplate_gram_stats_df(
     """
     from lab_flink_repository_analytics_spark.session import rebalance
 
-    toks = tokens(text_col)
-    n = F.size(toks)
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: md5_hash32(
-                F.concat_ws(
-                    " ",
-                    *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)],
-                )
-            ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
     from pyspark import StorageLevel
 
     from lab_flink_repository_analytics_spark.session import persist_bounded
 
     # consumed twice (document-frequency rollup + the per-doc join) —
-    # persist so the gram explode+hash pass runs once
+    # persist so the gram explode+hash pass runs once.  Grams come from
+    # the codegen regex builder and are hashed AFTER the explode (one
+    # md5 per gram occurrence, same as before, but in whole-stage
+    # codegen instead of an interpreted per-position lambda — see
+    # gram_strings).  explode_outer keeps gram-less docs as one NULL
+    # row, exactly like the former empty-array branch.
     pairs = persist_bounded(
         rebalance(docs)
-        .select(F.col(id_col).alias("doc_id"), F.explode_outer(grams).alias("g"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(gram_strings(text_col, k)).alias("s"),
+        )
+        .select("doc_id", md5_hash32(F.col("s")).alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count(F.when(F.col("g").isNotNull(), 1)).alias("cnt")),
         "text.boiler.pairs",
@@ -467,31 +483,28 @@ def bigram_logprob_scores_df(
     """
     from lab_flink_repository_analytics_spark.session import rebalance
 
-    toks = tokens(text_col)
-    n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.struct(
-                F.element_at(toks, (i + 1).cast("int")).alias("w1"),
-                F.element_at(toks, (i + 2).cast("int")).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     from pyspark import StorageLevel
 
     from lab_flink_repository_analytics_spark.session import persist_bounded
 
     # consumed three times (corpus bigram counts, vocab size, per-doc
-    # scoring join) — persist so the bigram explode pass runs once
+    # scoring join) — persist so the bigram explode pass runs once.
+    # Bigrams come from the codegen regex builder (see gram_strings);
+    # w1/w2 split off the gram string after the explode (tokens contain
+    # no spaces, so substring_index on the single separator is exact).
+    # explode_outer keeps bigram-less docs as one NULL row, exactly like
+    # the former empty-array branch.
     doc_bi = persist_bounded(
         rebalance(docs)
         .select(
             F.col(id_col).alias("doc_id"),
-            F.explode_outer(bigrams).alias("b"),
+            F.explode_outer(gram_strings(text_col, 2)).alias("s"),
         )
-        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .select(
+            "doc_id",
+            F.substring_index("s", " ", 1).alias("w1"),
+            F.substring_index("s", " ", -1).alias("w2"),
+        )
         # positions → multiplicities: the ONLY stage that touches every
         # bigram occurrence; everything downstream moves distinct pairs
         .groupBy("doc_id", "w1", "w2")
@@ -623,37 +636,28 @@ def duplicate_span_stats_df(
 
     from lab_flink_repository_analytics_spark.session import rebalance
 
-    toks = tokens(text_col)
-    n = F.size(toks)
-    gram_pos = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.struct(
-                i.cast("int").alias("pos"),
-                md5_hash60(
-                    F.concat_ws(
-                        " ",
-                        *[
-                            F.element_at(toks, (i + j + 1).cast("int"))
-                            for j in range(k)
-                        ],
-                    )
-                ).alias("g"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,g:bigint>>"))
     from pyspark import StorageLevel
 
     from lab_flink_repository_analytics_spark.session import persist_bounded
 
     # consumed twice (corpus-frequency rollup + the duplicated-position
     # join) — persist so the gram explode+hash pass runs once; data-scale
-    # at 100 TB, so MEMORY_AND_DISK (spills, never recomputes)
+    # at 100 TB, so MEMORY_AND_DISK (spills, never recomputes).  Grams
+    # come from the codegen regex builder — posexplode recovers the token
+    # position (element i IS the gram at position i), and the 60-bit hash
+    # runs AFTER the explode in whole-stage codegen instead of inside an
+    # interpreted per-position lambda (see gram_strings).
     pairs = persist_bounded(
         rebalance(docs)
-        .select(F.col(id_col).alias("doc_id"), F.explode(gram_pos).alias("pg"))
-        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(gram_strings(text_col, k)).alias("pos", "s"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("int").alias("pos"),
+            md5_hash60(F.col("s")).alias("g"),
+        )
         .groupBy("doc_id", "g")
         .agg(F.sort_array(F.collect_list("pos")).alias("poss")),
         "text.dupspan.pairs",

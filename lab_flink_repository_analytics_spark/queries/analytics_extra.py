@@ -2279,26 +2279,12 @@ def source_gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram key (bounded by #sources per gram, never corpus rows), and the
     per-source set sizes join back broadcast.  Output: (source_a,
     source_b, shared_grams, jaccard)."""
-    from lab_flink_repository_analytics_spark.datapipe.text import md5_hash60, tokens
+    from lab_flink_repository_analytics_spark.datapipe.text import (
+        gram_strings,
+        md5_hash60,
+    )
 
     docs = load_tables(spark, sf_dir)["documents"]
-    toks = tokens("text")
-    n = F.size(toks)
-    grams = F.when(
-        n >= OVERLAP_K,
-        F.transform(
-            F.sequence(F.lit(0), n - OVERLAP_K),
-            lambda i: md5_hash60(
-                F.concat_ws(
-                    " ",
-                    *[
-                        F.element_at(toks, (i + j + 1).cast("int"))
-                        for j in range(OVERLAP_K)
-                    ],
-                )
-            ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
     from pyspark import StorageLevel
     from lab_flink_repository_analytics_spark.session import (
         persist_bounded,
@@ -2310,9 +2296,14 @@ def source_gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (MEMORY_AND_DISK: at 100 TB this is a data-scale distinct table that
     # spills rather than recomputes).  rebalance: the explode+hash is the
     # data-amplifying map stage — a narrow local scan must spread before
-    # it (no-op on a many-split cluster scan).
+    # it (no-op on a many-split cluster scan).  Grams come from the
+    # codegen regex builder and hash AFTER the explode (text.gram_strings
+    # — the round-10 interpreted-lambda removal).
     sg = persist_bounded(
-        rebalance(docs).select("source", F.explode(grams).alias("g")).distinct(),
+        rebalance(docs)
+        .select("source", F.explode(gram_strings("text", OVERLAP_K)).alias("s"))
+        .select("source", md5_hash60(F.col("s")).alias("g"))
+        .distinct(),
         "analytics.overlap.sg",
         StorageLevel.MEMORY_AND_DISK,
     )

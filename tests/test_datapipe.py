@@ -546,6 +546,37 @@ def test_hard_negatives_excludes_same_label_and_ranks(spark):
     ]
 
 
+def test_gram_strings_matches_split_construction(spark):
+    # round-10: the regex gram builder replaced the per-position
+    # transform(sequence(...), element_at...) lambdas in the gram family
+    # (boilerplate, duplicate spans, bigram LM, source overlap).  Pin it
+    # element-for-element against the split-based construction on
+    # normalized text — same grams, same order, and position i of the
+    # array IS the gram at token position i (what posexplode relies on).
+    rows = [
+        (1, "a b c d e"),
+        (2, "one two three"),
+        (3, "exactly three toks"),
+        (4, "two toks"),
+        (5, "solo"),
+        (6, "rep rep rep rep"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for k in (2, 3, 8):
+        got = {
+            r["doc_id"]: r["g"]
+            for r in df.select(
+                "doc_id", TX.gram_strings("text", k).alias("g")
+            ).collect()
+        }
+        for doc_id, text in rows:
+            toks = text.split(" ")
+            want = [
+                " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+            ]
+            assert got[doc_id] == want, (doc_id, k)
+
+
 def test_boilerplate_gram_stats(spark):
     # "a b c" occurs in 3 docs (min_docs=3 → boilerplate); doc 4 is clean
     docs = spark.createDataFrame(
