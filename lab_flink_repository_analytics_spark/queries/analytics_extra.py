@@ -376,10 +376,29 @@ def quantization_error_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    quant = emb.select(
-        "vec_id", "label", quantization_error(
-            "embedding", int8_quantize("embedding")
-        ).alias("mae")
+    # Stage the quantize struct into a COLUMN before the error fold
+    # (round-10): interpreted HOF lambdas get no common-subexpression
+    # elimination, so an expression-valued ``quant`` argument re-evaluated
+    # the whole scale/quantize chain per ELEMENT inside zip_with —
+    # measured 10× on the sibling norm-in-lambda pattern.  As a column,
+    # ``quant['scale']``/``quant['q']`` are O(1) field reads; the operand
+    # order (and therefore every bit of the result) is unchanged.
+    quant = (
+        emb.withColumn(
+            "_scale",
+            F.array_max(
+                F.transform("embedding", lambda x: F.abs(x.cast("double")))
+            )
+            / F.lit(127.0),
+        )
+        .withColumn(
+            "_qt", int8_quantize("embedding", scale=F.col("_scale"))
+        )
+        .select(
+            "vec_id",
+            "label",
+            quantization_error("embedding", F.col("_qt")).alias("mae"),
+        )
     )
     return quant.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
