@@ -923,10 +923,26 @@ SELECT doc_id, to_json(sig)::VARCHAR AS sig FROM raw
 """
 
 
+def _near_dup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared MinHash-LSH candidate pairs over the full documents
+    table: the identical (shingle → signature → banded self-join →
+    distinct) build feeds BOTH the near_dup_pairs query and the
+    connected-components cluster family; under the bench's concurrent
+    pool each used to run its own multi-second copy (round-10).  Eagerly
+    checkpointed — a pure function of the read-only documents table, the
+    same derived_state pattern as the cluster labels it feeds."""
+    from lab_flink_repository_analytics_spark.session import derived_state
+
+    def build():
+        docs = load_tables(spark, sf_dir)["documents"]
+        return DD.near_dup_candidates(docs).localCheckpoint(eager=True)
+
+    return derived_state(spark, "near_dup_candidate_pairs", sf_dir, build)
+
+
 def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (banded signature join)."""
-    t = load_tables(spark, sf_dir)
-    return DD.near_dup_candidates(t["documents"])
+    return _near_dup_candidate_pairs(spark, sf_dir)
 
 
 NEAR_DUP_SQL = f"""
@@ -2068,7 +2084,9 @@ def _dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         from lab_flink_repository_analytics_spark.datapipe import graph
 
         docs = load_tables(spark, sf_dir)["documents"]
-        pairs = DD.near_dup_candidates(docs).select("id_a", "id_b")
+        # the candidate build is itself session-shared with the
+        # near_dup_pairs query (round-10) — one LSH pass per session
+        pairs = _near_dup_candidate_pairs(spark, sf_dir).select("id_a", "id_b")
         labels = graph.connected_components(
             pairs,
             src="id_a",
