@@ -198,18 +198,23 @@ def simhash_signatures_df(
     )
     h = toks.select("id", md5_hash32(F.col("tok")).alias("h"))
     # set-bit counts, not ±1 votes: sum(h>>i & 1) is a branch-free bitwise
-    # expression, and "majority of +1/-1 votes > 0" ⇔ "2·set_count > n"
+    # expression, and "majority of +1/-1 votes > 0" ⇔ "2·set_count > n".
+    # Both 32-term chains build as single expr strings (round-10): the
+    # former per-bit Column loops cost ~300 py4j round-trips of pure
+    # driver chatter per query build; the parsed trees are identical.
     sums = [
-        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
-        for i in range(32)
+        F.expr(f"sum(shiftright(h, {i}) & 1)").alias(f"b{i}") for i in range(32)
     ]
     agg = h.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *sums)
-    sim = F.lit(0).cast("bigint")
-    for i in range(32):
-        sim = sim + F.when(
-            F.col(f"b{i}") * 2 > F.col("n"), F.lit(1 << i).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-    return agg.select(F.col("id").alias(id_col), sim.alias("simhash"))
+    sim_text = " + ".join(
+        f"(CASE WHEN b{i} * 2 > n THEN CAST({1 << i} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for i in range(32)
+    )
+    return agg.select(
+        F.col("id").alias(id_col),
+        F.expr(f"CAST(0 AS BIGINT) + {sim_text}").alias("simhash"),
+    )
 
 
 def jaccard_tokens(a: Column | str, b: Column | str) -> Column:
