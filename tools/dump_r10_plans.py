@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Dump .explain('formatted') for the round-10-touched queries.
+
+Usage: python tools/dump_r10_plans.py REPO_ROOT OUT_DIR SUFFIX
+Runs against the package at REPO_ROOT (so a pre-change worktree produces
+the _before plans and HEAD the _after plans) and writes
+OUT_DIR/<query>_<SUFFIX>.txt.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+root, out_dir, suffix = sys.argv[1], sys.argv[2], sys.argv[3]
+sys.path.insert(0, root)
+
+QUERIES = [
+    "embedding_near_dup",
+    "semantic_dedup",
+    "ann_ivf_topk",
+    "label_redundancy",
+    "quantization_error_by_label",
+    "simhash_fingerprints",
+    "random_projection_sketch",
+    "boilerplate_gram_frac",
+    "duplicate_text_spans",
+    "bigram_lm_scores",
+    "source_gram_overlap",
+    "near_dup_pairs",
+    "dedup_clusters",
+    "copurchase_triangles",
+    "copurchase_pagerank",
+]
+
+
+def main() -> None:
+    from lab_flink_repository_analytics_spark.queries import suite
+    from lab_flink_repository_analytics_spark.session import get_spark
+
+    spark = get_spark(app_name=f"dump-plans-{suffix}")
+    qs = suite.queries()
+    os.makedirs(out_dir, exist_ok=True)
+    sf = "/root/testdata/sf0.1"
+    for name in QUERIES:
+        try:
+            df = qs[name](spark, sf)
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        except Exception as e:  # pragma: no cover - diagnostic tool
+            plan = f"ERROR building/planning {name}: {e}"
+        with open(os.path.join(out_dir, f"{name}_{suffix}.txt"), "w") as f:
+            f.write(plan)
+        print(f"wrote {name}_{suffix}.txt ({len(plan)} chars)", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
