@@ -483,28 +483,38 @@ def bigram_logprob_scores_df(
     """
     from lab_flink_repository_analytics_spark.session import rebalance
 
+    toks = tokens(text_col)
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.struct(
+                F.element_at(toks, (i + 1).cast("int")).alias("w1"),
+                F.element_at(toks, (i + 2).cast("int")).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     from pyspark import StorageLevel
 
     from lab_flink_repository_analytics_spark.session import persist_bounded
 
     # consumed three times (corpus bigram counts, vocab size, per-doc
     # scoring join) — persist so the bigram explode pass runs once.
-    # Bigrams come from the codegen regex builder (see gram_strings);
-    # w1/w2 split off the gram string after the explode (tokens contain
-    # no spaces, so substring_index on the single separator is exact).
-    # explode_outer keeps bigram-less docs as one NULL row, exactly like
-    # the former empty-array branch.
+    # Round-10 note: this site keeps the struct-transform form
+    # DELIBERATELY — the gram_strings regex rewrite that won 2-9× for
+    # k>=3 (where md5 consumes the concatenated gram anyway) measured
+    # 1.23× SLOWER here at the sf1 replica, because for k=2 the regex
+    # capture allocates a concatenated "w1 w2" string per position that
+    # substring_index must then re-parse twice, while the struct form
+    # reuses the token strings untouched.
     doc_bi = persist_bounded(
         rebalance(docs)
         .select(
             F.col(id_col).alias("doc_id"),
-            F.explode_outer(gram_strings(text_col, 2)).alias("s"),
+            F.explode_outer(bigrams).alias("b"),
         )
-        .select(
-            "doc_id",
-            F.substring_index("s", " ", 1).alias("w1"),
-            F.substring_index("s", " ", -1).alias("w2"),
-        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
         # positions → multiplicities: the ONLY stage that touches every
         # bigram occurrence; everything downstream moves distinct pairs
         .groupBy("doc_id", "w1", "w2")
