@@ -102,6 +102,36 @@ def cms_build(items: DataFrame, col: str = "item") -> DataFrame:
     )
 
 
+def cms_build_weighted(
+    counts: DataFrame, col: str = "item", weight: str = "c"
+) -> DataFrame:
+    """(d, bucket, c) counter cells from PRE-AGGREGATED (item, count)
+    rows — algebraically identical to :func:`cms_build` on the expanded
+    stream (every cell is a sum, so summing per-item counts at each
+    hashed bucket lands the same totals), but each DISTINCT item is
+    md5-hashed once per depth instead of once per occurrence: the hash
+    work drops from depth×corpus to depth×vocabulary (sublinear in the
+    corpus by Heaps' law), which is what the hot path should pay when a
+    (item, count) rollup already exists.  ``c`` is cast to the same
+    non-null BIGINT ``cms_build`` produces."""
+    rows = counts.select(
+        F.col(weight).alias("_w"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _cms_bucket(col, d).alias("bucket")
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    )
+    return rows.groupBy("cell.d", "cell.bucket").agg(
+        F.coalesce(F.sum("_w"), F.lit(0)).cast("bigint").alias("c")
+    )
+
+
 def cms_merge(*sketches: DataFrame) -> DataFrame:
     """Union counter grids by summing cells (the mergeability property)."""
     out = sketches[0]

@@ -2857,16 +2857,21 @@ def word_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_tables(spark, sf_dir)["documents"]
-    # consumed three times (sketch build, distinct probe set, exact
-    # counts) — persist so the corpus explode runs once, spread first
-    words = persist_bounded(
-        rebalance(docs).select(F.explode(F.split("text", " ")).alias("item")),
-        "suite.cms.words",
+    # fold the token stream to (item, cnt) FIRST: the rollup is the exact
+    # counts column anyway, doubles as the distinct probe set, and feeds
+    # the sketch through cms_build_weighted — so the md5 grid hashing and
+    # the persisted intermediate are vocabulary-sized, not corpus-sized
+    # (cell sums are identical either way; see cms_build_weighted)
+    counts = persist_bounded(
+        rebalance(docs)
+        .select(F.explode(F.split("text", " ")).alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt")),
+        "suite.cms.counts",
     )
-    sketch = SK.cms_build(words)
-    est = SK.cms_estimate(sketch, words.distinct())
-    true_counts = words.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
-    return est.join(true_counts, "item").select(
+    sketch = SK.cms_build_weighted(counts, weight="cnt")
+    est = SK.cms_estimate(sketch, counts.select("item"))
+    return est.join(counts, "item").select(
         F.col("item").alias("word"), "est", "cnt"
     )
 

@@ -62,6 +62,21 @@ def test_tfidf_scores_nonnegative(spark, sf_dir):
     assert all(1 <= r["rnk"] <= 3 for r in rows)
 
 
+def test_tfidf_bm25_share_doc_term_tf(spark, sf_dir):
+    """tfidf and bm25 must consume the SAME session-shared (doc, term, tf)
+    table — one corpus explode per session, not one per query (the
+    derived_state memo returns the identical persisted DataFrame)."""
+    from lab_flink_repository_analytics_spark.session import reset_derived_state
+
+    reset_derived_state()
+    try:
+        first = AX._doc_term_tf(spark, sf_dir)
+        second = AX._doc_term_tf(spark, sf_dir)
+        assert first is second
+    finally:
+        reset_derived_state()
+
+
 def test_quartiles_partition_counts_balanced(spark, sf_dir):
     rows = {r["quartile"]: r for r in AX.customer_revenue_quartiles(spark, sf_dir).collect()}
     assert set(rows) == {1, 2, 3, 4}

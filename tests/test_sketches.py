@@ -78,6 +78,29 @@ def test_cms_overestimates_and_merges(spark):
     assert est_m == est
 
 
+def test_cms_build_weighted_matches_stream_build(spark):
+    """cms_build_weighted over a (item, cnt) rollup must land the EXACT
+    cell grid (d, bucket, c) of cms_build over the expanded stream —
+    the algebraic identity word_freq_cms' one-aggregation rewrite rests
+    on — including the schema (non-null bigint c)."""
+    from lab_flink_repository_analytics_spark.datapipe import sketches as SK
+    from pyspark.sql import functions as F
+
+    items = spark.createDataFrame(
+        [(w,) for w in ["a"] * 5 + ["b"] * 3 + ["c"] * 2 + ["d"]], "item: string"
+    )
+    counts = items.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    stream_cells = {
+        (r["d"], r["bucket"]): r["c"] for r in SK.cms_build(items).collect()
+    }
+    weighted = SK.cms_build_weighted(counts, weight="cnt")
+    weighted_cells = {(r["d"], r["bucket"]): r["c"] for r in weighted.collect()}
+    assert weighted_cells == stream_cells
+    [c_field] = [f for f in weighted.schema.fields if f.name == "c"]
+    assert c_field.dataType.simpleString() == "bigint"
+    assert not c_field.nullable
+
+
 def test_histogram_quantiles_merge_and_accuracy(spark):
     from lab_flink_repository_analytics_spark.datapipe import sketches as SK
     from pyspark.sql import functions as F

@@ -31,6 +31,9 @@ QUERIES = [
     "dedup_clusters",
     "copurchase_triangles",
     "copurchase_pagerank",
+    "word_freq_cms",
+    "tfidf_top_terms",
+    "bm25_top_terms",
 ]
 
 
