@@ -987,6 +987,7 @@ def mean_pairwise_cosine(
     vectors: DataFrame,
     group_col: str = "label",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Mean pairwise cosine similarity WITHIN each group — the corpus
     redundancy/diversity signal a SemDeDup-style curation pass reads per
@@ -1038,6 +1039,56 @@ def mean_pairwise_cosine(
             ).alias("u"),
         )
     )
+    n = F.col("n_vectors")
+    if dim is not None:
+        # Fixed-width single-aggregation path (round-10, guide §2.3/§2.4):
+        # with the vector width pinned by the caller's table contract, the
+        # per-dim component sums become ``dim`` flat SUM aggregates in the
+        # SAME HashAggregate as n_vectors/ssum — no posexplode (which
+        # multiplied rows ×dim through a Generate before the exchange: 20 s
+        # of the 23 s executor time at sf0.1 lived in that stage), no
+        # second pass over ``rows`` (the un-persisted projection used to
+        # run once for dims and once for rowagg), no dims exchange and no
+        # broadcast join.  Bit-identical to the explode form: DECIMAL sums
+        # are exact, hence order- and grouping-independent; ``F.get``
+        # yields NULL past a row's width exactly as posexplode generates
+        # no row there (SUM skips both), and the NULL-sum dims that the
+        # old sumsq aggregate skipped enter the ``+`` chain as exact
+        # decimal zeros via coalesce.  Rows WIDER than ``dim`` would lose
+        # their tail dims — out of contract, same stance as
+        # embedding_near_dup's width contract.
+        g = rows.groupBy("grp").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum(dot("u", "u").cast("decimal(30,15)")).alias("ssum"),
+            *[
+                F.sum(F.get("u", d).cast("decimal(30,15)")).alias(f"_s{d}")
+                for d in range(dim)
+            ],
+        )
+        sq = [
+            F.coalesce(
+                (F.col(f"_s{d}").cast("double") * F.col(f"_s{d}").cast("double")).cast(
+                    "decimal(38,10)"
+                ),
+                F.lit(0).cast("decimal(38,10)"),
+            )
+            for d in range(dim)
+        ]
+        sumsq = sq[0]
+        for term in sq[1:]:
+            sumsq = sumsq + term
+        return g.select(
+            F.col("grp").alias(group_col),
+            n,
+            F.when(
+                n > 1,
+                F.round(
+                    (sumsq.cast("double") - F.col("ssum").cast("double"))
+                    / (n * (n - 1)),
+                    6,
+                ),
+            ).alias("mean_cos"),
+        )
     dims = (
         rows.select("grp", F.posexplode("u").alias("d", "x"))
         .groupBy("grp", "d")
@@ -1054,7 +1105,6 @@ def mean_pairwise_cosine(
         F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
         F.sum(dot("u", "u").cast("decimal(30,15)")).alias("ssum"),
     )
-    n = F.col("n_vectors")
     return (
         rowagg.join(F.broadcast(gsum), "grp")
         .select(
@@ -1100,9 +1150,23 @@ def covariance_matrix(
     a = vectors.select(F.col(vec_col).alias("v")).select(
         F.posexplode(v).alias("i0", "xi"), v.alias("v2")
     )
-    b = a.select("i0", "xi", F.posexplode("v2").alias("j0", "xj"))
     if upper_only:
-        b = b.filter(F.col("i0") <= F.col("j0"))
+        # generate ONLY the upper triangle (round-10, guide §2.3): slicing
+        # v2 to its j ≥ i tail before the second posexplode halves the
+        # Generate's output (dim² → dim(dim+1)/2 rows per input row)
+        # instead of discarding the lower triangle with a post-filter;
+        # j recovers from the slice-relative position.  Same (i0, j0,
+        # xi, xj) row set as explode-then-filter — measured value-equal
+        # (sxy and n) at sf0.1.
+        b = a.select(
+            "i0",
+            "xi",
+            F.posexplode(F.expr("slice(v2, i0 + 1, size(v2) - i0)")).alias(
+                "jrel", "xj"
+            ),
+        ).select("i0", "xi", (F.col("i0") + F.col("jrel")).alias("j0"), "xj")
+    else:
+        b = a.select("i0", "xi", F.posexplode("v2").alias("j0", "xj"))
     mom = b.groupBy("i0", "j0").agg(
         F.sum(
             (F.col("xi").cast("double") * F.col("xj").cast("double")).cast(

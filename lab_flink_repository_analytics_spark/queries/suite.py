@@ -1397,9 +1397,11 @@ def label_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     redundancy/diversity signal a SemDeDup-style curation pass reads
     before deciding how aggressively to deduplicate a source.  O(N·d) via
     the moments identity Σ_{i≠j} u_i·u_j = ‖Σu‖² − Σ‖u_i‖², never an
-    all-pairs join."""
+    all-pairs join.  Width from the :data:`EMBEDDING_DIM` table contract
+    → the fixed-width single-aggregation path (one HashAggregate, no
+    posexplode, no join; bit-identical by decimal exactness)."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    return SIM.mean_pairwise_cosine(emb, group_col="label")
+    return SIM.mean_pairwise_cosine(emb, group_col="label", dim=EMBEDDING_DIM)
 
 
 # Twin of the Spark decimal-moments plan: per-dim component sums of the

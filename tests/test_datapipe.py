@@ -511,6 +511,31 @@ def test_mean_pairwise_cosine_matches_bruteforce(spark):
         assert mc == pytest.approx(brute(vs), abs=2e-6)
 
 
+def test_mean_pairwise_cosine_fixed_width_path_matches_generic(spark):
+    """The dim-pinned single-aggregation path (no posexplode, no join)
+    must land bit-identical rows to the width-agnostic explode path —
+    including narrow rows (F.get's NULL past a row's width ≡ posexplode
+    generating no row) and singleton/bad-row handling."""
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [1.0, 1.0, 0.0], 0),
+        (3, [0.0, 1.0], 0),  # narrower than dim: same contribution
+        (4, [0.3, -0.7, 0.2], 1),
+        (5, [1.0], 1),
+        (6, [-1.0], 1),
+        (7, None, 1),  # NULL embedding: not a contributor
+        (8, [2.0, 0.0, 0.0], 2),  # singleton group → NULL mean
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    generic = sorted(tuple(r) for r in SIM.mean_pairwise_cosine(emb).collect())
+    fixed = sorted(
+        tuple(r) for r in SIM.mean_pairwise_cosine(emb, dim=3).collect()
+    )
+    assert fixed == generic
+
+
 def test_mean_pairwise_cosine_singleton_and_bad_rows(spark):
     # singleton group → NULL mean; NULL / zero-norm embeddings and NULL
     # labels are excluded from n_vectors, not silently averaged as zeros
