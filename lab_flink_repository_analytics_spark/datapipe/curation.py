@@ -49,12 +49,32 @@ def curation_outcomes(
     documents are excluded from the contamination *training* side and can
     only be dropped by the content rules.
     """
-    # per-row quality metrics ride along in the dedup-election frame: the
-    # window only partitions by content hash, so the projection costs no
-    # extra scan or join (one branch instead of two).
+    # per-row quality metrics AND the duplicate-bigram fraction ride along
+    # in the dedup-election frame: the window only partitions by content
+    # hash, so the projections cost no extra scan or join.  The repetition
+    # rule only reads dup_bigram_fraction = 1 − distinct/total bigrams,
+    # which is ROW-LOCAL over the codegen lookahead-capture bigram array
+    # (size + array_distinct) — computing it here instead of joining
+    # text.repetition_metrics_df removes that branch's corpus scan, two
+    # Generates, two two-level aggregations and an id-keyed join from the
+    # composition (round-10, guide §2.3/§2.4; the full metrics frame still
+    # serves callers that need top_word_fraction).  Same values as the
+    # exploded form: total = size, distinct = size∘array_distinct, and a
+    # doc with no bigrams reports 0.0 exactly like the old
+    # coalesce-after-left-join — which also matches the oracle twin's
+    # documents-LEFT JOIN-bstat shape for token-less docs.
+    bigrams = F.regexp_extract_all(
+        F.col(text_col), F.lit("(?:^| )(?=([^ ]+ [^ ]+))"), 1
+    )
+    n_bg = F.size(bigrams)
+    dup_frac = F.when(
+        n_bg > 0,
+        F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / n_bg,
+    ).otherwise(F.lit(0.0))
     base = docs.select(
         *docs.columns,
         TX.quality_metrics(text_col).alias("qm"),
+        dup_frac.alias("dup_bigram_fraction"),
         F.min(id_col)
         .over(Window.partitionBy(F.md5(F.col(text_col))))
         .alias("keep_id"),
@@ -62,17 +82,15 @@ def curation_outcomes(
         *docs.columns,
         F.col("qm.n_tokens").alias("n_tokens"),
         F.col("qm.distinct_ratio").alias("distinct_ratio"),
+        "dup_bigram_fraction",
         "keep_id",
-    )
-    rep = TX.repetition_metrics_df(docs, text_col, id_col).select(
-        id_col, "dup_bigram_fraction"
     )
     train = docs.join(eval_set.select(id_col), id_col, "left_anti")
     cont = decontaminate.ngram_overlap(
         train, eval_set, text_col, id_col, ngram
     ).select(id_col, "contamination_ratio")
 
-    joined = base.join(rep, id_col).join(cont, id_col, "left")
+    joined = base.join(cont, id_col, "left")
     outcome = (
         F.when(
             (F.col("n_tokens") < MIN_TOKENS)

@@ -180,6 +180,7 @@ def with_grouped_running_sum(
     value_col: str,
     out_col: str = "running_sum",
     num_partitions: int | None = None,
+    totals_out: dict | None = None,
 ) -> DataFrame:
     """Inclusive per-group prefix sum —
     ``sum(value) OVER (PARTITION BY group ORDER BY … ROWS UNBOUNDED
@@ -226,6 +227,20 @@ def with_grouped_running_sum(
         if prev is not None:
             carry[r["__k"]] = prev
         run[gkey] = (prev or 0) + r["s"]
+    if totals_out is not None and all(isinstance(c, str) for c in group_cols):
+        # per-group grand totals fall out of the partials this collect
+        # already paid for (exact integer/decimal sums — the same values
+        # any regrouping of the partials produces); callers that need
+        # group totals (quota_fill's Hamilton quotas) read them from here
+        # instead of re-scanning the input.  Keyed by the typed group
+        # value (tuple for composite groups).
+        for r in parts:
+            tkey = (
+                r[group_cols[0]]
+                if len(group_cols) == 1
+                else tuple(r[c] for c in group_cols)
+            )
+            totals_out[tkey] = totals_out.get(tkey, 0) + r["s"]
     entries = [x for k in sorted(carry) for x in (F.lit(k), F.lit(carry[k]))]
     carry_expr = (
         F.coalesce(
