@@ -279,7 +279,13 @@ def kmeans_centroids(
     model = KMeans(k=n_lists, seed=seed).fit(feats)
     spark = vectors.sparkSession
     rows = [(i, list(map(float, c))) for i, c in enumerate(model.clusterCenters())]
-    return spark.createDataFrame(rows, "cid int, cv array<double>")
+    # JVM LocalRelation, not createDataFrame: k×dim driver-held floats —
+    # a Python-worker-backed ExistingRDD scan pays defaultParallelism
+    # worker spin-ups per materialization (see session.local_relation);
+    # repr→string→double round-trips each centroid coordinate bit-exactly
+    from lab_flink_repository_analytics_spark.session import local_relation
+
+    return local_relation(spark, rows, "cid int, cv array<double>")
 
 
 #: quantizers up to this size are inlined as codegen literals; larger ones

@@ -1912,10 +1912,17 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_merges) — tokenizer training as a distributed operator; the
     oracle unrolls the identical three iterations in SQL (the k-means
     pattern), sharing the SEP-wrapped greedy-merge representation."""
+    from lab_flink_repository_analytics_spark.session import local_relation
+
     docs = load_tables(spark, sf_dir)["documents"]
     merges, _ = _trained_bpe(spark, sf_dir, docs)
-    return spark.createDataFrame(
-        merges, "step int, lft string, rgt string, merged string, pair_freq bigint"
+    # the model is 3 driver-held tuples — emit it as a JVM LocalRelation:
+    # createDataFrame planned a 32-partition Python-worker scan that cost
+    # 40 s of executor time PER materialization (round-10 stage profile)
+    return local_relation(
+        spark,
+        merges,
+        "step int, lft string, rgt string, merged string, pair_freq bigint",
     )
 
 
@@ -1973,26 +1980,31 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc subword token counts under the 3-merge BPE model trained on
     the corpus itself (datapipe/bpe.py::doc_token_counts) — segmentation
     runs once per DISTINCT word, the corpus side only explodes + joins;
-    the trained state is shared with the other BPE queries via the memo."""
+    the trained state is shared with the other BPE queries via the memo.
+
+    Round-10 (guide §2.4): the corpus side folds off the session-shared
+    (doc_id, term, tf) table (:func:`_doc_term_tf`, shared with
+    tfidf/bm25) instead of re-exploding the text — occurrence counting is
+    Σ tf and occurrence-weighted subword counting is Σ tf·n_sub, exact
+    bigint identities, and the join probes (doc, DISTINCT word) rows
+    instead of every occurrence."""
     from lab_flink_repository_analytics_spark.datapipe import bpe as BPE
-    from lab_flink_repository_analytics_spark.session import rebalance
 
     docs = load_tables(spark, sf_dir)["documents"]
     _, merged = _trained_bpe(spark, sf_dir, docs)
     per_word = merged.select(
-        "w",
+        F.col("w").alias("term"),
         F.size(
             F.split(F.expr("substring(rep, 2, length(rep) - 2)"), BPE.SEP + BPE.SEP)
         ).alias("n_sub"),
     )
     return (
-        rebalance(docs)
-        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .join(per_word, "w")
+        _doc_term_tf(spark, sf_dir)
+        .join(per_word, "term")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_words"),
-            F.sum("n_sub").cast("bigint").alias("n_bpe_tokens"),
+            F.sum("tf").cast("bigint").alias("n_words"),
+            F.sum(F.col("tf") * F.col("n_sub")).cast("bigint").alias("n_bpe_tokens"),
         )
     )
 
@@ -2393,10 +2405,12 @@ def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer (code, non-Latin scripts) before the budget is allocated.
 
     Scale shape: segmentation cost is vocabulary-sized (per DISTINCT word,
-    Heaps' law); the corpus-scale side is one token explode joined to the
-    word table (AQE broadcasts it) and one per-source rollup."""
+    Heaps' law); the corpus-scale side folds off the session-shared
+    (source, w, c) rollup (:func:`_source_word_counts`, shared with the
+    mixture/entropy queries — round-10, guide §2.4): occurrence counting
+    is Σ c and occurrence-weighted subword counting is Σ c·n_sub, exact
+    bigint identities, so no per-query corpus explode remains."""
     from lab_flink_repository_analytics_spark.datapipe import bpe as BPE
-    from lab_flink_repository_analytics_spark.session import rebalance
 
     docs = load_tables(spark, sf_dir)["documents"]
     _, merged = _trained_bpe(spark, sf_dir, docs)
@@ -2407,13 +2421,12 @@ def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_sub"),
     )
     return (
-        rebalance(docs)
-        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        _source_word_counts(spark, sf_dir)
         .join(per_word, "w")
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_words"),
-            F.sum("n_sub").cast("bigint").alias("n_bpe_tokens"),
+            F.sum("c").cast("bigint").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_sub")).cast("bigint").alias("n_bpe_tokens"),
         )
         .withColumn(
             "fertility",

@@ -342,6 +342,79 @@ def release_persist_slot(slot: str) -> None:
         prev.unpersist(blocking=False)
 
 
+def _sql_literal(v, typ: str) -> str:
+    """One VALUES-cell literal of SQL type ``typ`` (see local_relation)."""
+    t = typ.strip().lower()
+    if v is None:
+        return f"CAST(NULL AS {typ})"
+    if t.startswith("array<") and t.endswith(">"):
+        inner = typ.strip()[6:-1]
+        return "array(" + ", ".join(_sql_literal(x, inner) for x in v) + ")"
+    if t in ("double", "float"):
+        # repr round-trips bit-exactly through the correctly-rounded
+        # string→double cast (same rule as the expr-string vector builders)
+        return f"CAST('{float(v)!r}' AS {typ})"
+    if t in ("int", "integer", "bigint", "long", "smallint", "tinyint"):
+        return f"CAST({int(v)} AS {typ})"
+    if t == "boolean":
+        return "true" if v else "false"
+    if t == "string":
+        s = (
+            str(v)
+            .replace("\\", "\\\\")
+            .replace("'", "\\'")
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+            .replace("\x00", "\\0")
+        )
+        return f"'{s}'"
+    raise ValueError(f"local_relation: unsupported type {typ!r}")
+
+
+def local_relation(spark, rows, schema: str):
+    """DataFrame from driver-held MODEL-sized rows (trained BPE merges,
+    k-means centroids) as a pure-JVM ``LocalRelation``.
+
+    ``createDataFrame`` over Python rows plans as a Python-worker-backed
+    ``Scan ExistingRDD`` with ``defaultParallelism`` partitions — every
+    scan of the result pays a fleet of Python worker spin-ups (measured:
+    40 s of executor time for a THREE-row table at local[32], and the
+    optimizer may scan such a relation several times).  A ``VALUES`` list
+    of foldable cast literals collapses to ``LocalRelation`` during
+    analysis instead: zero executor tasks, participates in
+    constant-folding and broadcast like any literal table.
+
+    ``schema`` is the same DDL string ``createDataFrame`` takes
+    (``"cid int, cv array<double>"``); supported cell types: integral,
+    double/float, boolean, string, arrays thereof.  Empty ``rows`` yields
+    the empty relation with the same columns."""
+    cols = []
+    depth, start = 0, 0
+    s = schema.strip()
+    for i, ch in enumerate(s + ","):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            cols.append(s[start:i].strip())
+            start = i + 1
+    names = [c.split(None, 1)[0] for c in cols]
+    types = [c.split(None, 1)[1] for c in cols]
+    if not rows:
+        empty = ", ".join(
+            f"CAST(NULL AS {t}) AS {n}" for n, t in zip(names, types)
+        )
+        return spark.sql(f"SELECT {empty} WHERE 1=0")
+    tuples = ", ".join(
+        "(" + ", ".join(_sql_literal(v, t) for v, t in zip(r, types)) + ")"
+        for r in rows
+    )
+    return spark.sql(
+        f"SELECT * FROM VALUES {tuples} AS t({', '.join(names)})"
+    )
+
+
 def rebalance(df, factor: int = 1, expected_splits: int | None = None):
     """Ensure at least ``defaultParallelism × factor`` partitions before a
     data-amplifying stage (explode of shingles/files, quadratic block join).

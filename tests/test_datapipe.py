@@ -780,6 +780,35 @@ def test_bigram_lm_hybrid_head_join_matches_plain(spark, sf_dir):
     assert plain == hybrid and len(plain) > 0
 
 
+def test_bpe_pair_counts_regex_matches_reference(spark):
+    """The lookahead-capture pair builder must land the exact (pair, freq)
+    cells of a straightforward split-and-zip reference over the same
+    reps — including multi-char symbols (post-merge), single-symbol and
+    empty-word reps which must contribute no pairs."""
+    from pyspark.sql import functions as F
+
+    from lab_flink_repository_analytics_spark.datapipe import bpe as BPE
+
+    S = BPE.SEP
+    reps = [
+        # (wc, rep): multi-char symbols as after two merges
+        (3, S + "lo" + S + S + "w" + S + S + "er" + S),
+        (2, S + "a" + S + S + "a" + S + S + "a" + S),  # aaa: 2 pairs
+        (5, S + "xyz" + S),  # single symbol: no pair
+        (1, S + S),  # empty word: no pair
+    ]
+    df = spark.createDataFrame(reps, "wc bigint, rep string")
+    got = {
+        (r["pair"], r["freq"]) for r in BPE._pair_counts(df).collect()
+    }
+    expect = {}
+    for wc, rep in reps:
+        syms = [s for s in rep[1:-1].split(S + S)] if len(rep) > 2 else []
+        for a, b in zip(syms, syms[1:]):
+            expect[a + " " + b] = expect.get(a + " " + b, 0) + wc
+    assert got == set(expect.items())
+
+
 def test_bpe_periodic_recheckpoint_preserves_model(spark):
     from lab_flink_repository_analytics_spark.datapipe import bpe as BPE
 

@@ -57,6 +57,34 @@ def test_derived_state_eviction_releases_containers(spark, monkeypatch):
     S.reset_derived_state()
 
 
+def test_local_relation_matches_createdataframe_and_stays_jvm(spark):
+    """session.local_relation must (a) return the same rows as
+    createDataFrame for model-shaped data — including strings needing SQL
+    escaping (quotes, backslashes, newlines, the reserved BPE separator),
+    doubles that only round-trip via repr, arrays and NULLs — and (b)
+    plan as a pure-JVM LocalRelation with no Python-backed ExistingRDD
+    scan (the whole point: a createDataFrame scan pays defaultParallelism
+    Python worker spin-ups per materialization)."""
+    from lab_flink_repository_analytics_spark.session import local_relation
+
+    rows = [
+        (1, "it's a \\ backslash\nline", 0.1 + 0.2, [1.5, float("1e-300")]),
+        (2, "sep", -0.0, []),
+        (None, None, None, None),
+    ]
+    schema = "k int, s string, x double, v array<double>"
+    lr = local_relation(spark, rows, schema)
+    cdf = spark.createDataFrame(rows, schema)
+    assert sorted(map(tuple, lr.collect()), key=repr) == sorted(
+        map(tuple, cdf.collect()), key=repr
+    )
+    plan = lr._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan or "LocalRelation" in plan
+    assert "ExistingRDD" not in plan
+    # empty input keeps the column set
+    assert local_relation(spark, [], schema).columns == ["k", "s", "x", "v"]
+
+
 def test_default_driver_memory_is_clamped():
     gb = S._default_driver_memory_gb()
     assert isinstance(gb, int)

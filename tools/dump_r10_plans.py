@@ -1,10 +1,12 @@
 #!/usr/bin/env python
 """Dump .explain('formatted') for the round-10-touched queries.
 
-Usage: python tools/dump_r10_plans.py REPO_ROOT OUT_DIR SUFFIX
+Usage: python tools/dump_r10_plans.py REPO_ROOT OUT_DIR SUFFIX [QUERY ...]
 Runs against the package at REPO_ROOT (so a pre-change worktree produces
 the _before plans and HEAD the _after plans) and writes
-OUT_DIR/<query>_<SUFFIX>.txt.
+OUT_DIR/<query>_<SUFFIX>.txt.  Optional QUERY names restrict the dump (so
+a late-round change can refresh its own plans without overwriting the
+round-start _before dumps of earlier changes).
 """
 
 from __future__ import annotations
@@ -13,6 +15,7 @@ import os
 import sys
 
 root, out_dir, suffix = sys.argv[1], sys.argv[2], sys.argv[3]
+only = set(sys.argv[4:])
 sys.path.insert(0, root)
 
 QUERIES = [
@@ -34,6 +37,9 @@ QUERIES = [
     "word_freq_cms",
     "tfidf_top_terms",
     "bm25_top_terms",
+    "bpe_merges",
+    "bpe_token_counts",
+    "bpe_fertility_by_source",
 ]
 
 
@@ -45,7 +51,7 @@ def main() -> None:
     qs = suite.queries()
     os.makedirs(out_dir, exist_ok=True)
     sf = "/root/testdata/sf0.1"
-    for name in QUERIES:
+    for name in [q for q in QUERIES if not only or q in only]:
         try:
             df = qs[name](spark, sf)
             plan = df._jdf.queryExecution().explainString(
