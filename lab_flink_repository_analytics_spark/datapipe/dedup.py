@@ -84,7 +84,18 @@ def minhash_signature(text: Column | str, k: int = 3) -> Column:
     is *not* CSE'd across the permutations here).
     """
     sh = shingles(text, k)
-    hashes = F.transform(sh, md5_hash32)
+    return minhash_signature_from_hashes(F.transform(sh, md5_hash32))
+
+
+def minhash_signature_from_hashes(hashes: Column) -> Column:
+    """Signature from a precomputed shingle-hash array.
+
+    Callers that CAN stage the hash array into a column first (e.g. the
+    streaming twin) should: ``transform``'s input expression is evaluated
+    per *call*, so the inline form re-shingles and re-hashes the document
+    once per permutation (N_PERMS×); a bound column reference makes that
+    an O(1) attribute read per permutation.
+    """
     mins = [
         F.array_min(
             F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))

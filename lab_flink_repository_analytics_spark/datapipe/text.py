@@ -483,7 +483,12 @@ def bigram_logprob_scores_df(
     """
     from lab_flink_repository_analytics_spark.session import rebalance
 
-    toks = tokens(text_col)
+    # Tokens are STAGED into a column before the higher-order transform:
+    # interpreted HOF lambdas get no CSE, so capturing the raw split()
+    # expression would re-split the document once per element (twice —
+    # both element_at calls).  With a bound column reference the split
+    # runs once per row (executor CPU 12.7 → 9.7 s at sf0.1).
+    toks = F.col("_toks")
     n = F.size(toks)
     bigrams = F.when(
         n >= 2,
@@ -510,8 +515,9 @@ def bigram_logprob_scores_df(
     # reuses the token strings untouched.
     doc_bi = persist_bounded(
         rebalance(docs)
+        .select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks"))
         .select(
-            F.col(id_col).alias("doc_id"),
+            "doc_id",
             F.explode_outer(bigrams).alias("b"),
         )
         .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))

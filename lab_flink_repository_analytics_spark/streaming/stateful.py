@@ -244,9 +244,15 @@ def minhash_dedup_stream(docs: DataFrame, id_col: str = "doc_id", text_col: str 
     """
     from lab_flink_repository_analytics_spark.datapipe import dedup as DD
 
+    # Shingle hashes staged into a column so each of the N_PERMS
+    # permutation transforms reads a bound attribute instead of
+    # re-shingling + re-hashing the document per permutation.
     banded = docs.select(
         F.col(id_col).alias("id"),
-        DD.minhash_signature(text_col).alias("sig"),
+        F.transform(DD.shingles(text_col), DD.md5_hash32).alias("_h"),
+    ).select(
+        "id",
+        DD.minhash_signature_from_hashes(F.col("_h")).alias("sig"),
     ).select(
         "id",
         "sig",

@@ -40,6 +40,28 @@ def test_minhash_df_matches_expression_form(spark):
     assert all(len(s) == DD.N_PERMS for s in a.values())
 
 
+def test_minhash_staged_hashes_matches_expression_form(spark):
+    # The streaming twin stages the shingle-hash array into a column
+    # before the per-permutation transforms; values must be identical to
+    # the inline expression form.
+    from pyspark.sql import functions as F
+
+    df = _docs(spark)
+    a = {
+        r["doc_id"]: r["sig"]
+        for r in df.select(
+            "doc_id", F.transform(DD.shingles("text"), DD.md5_hash32).alias("_h")
+        )
+        .select("doc_id", DD.minhash_signature_from_hashes(F.col("_h")).alias("sig"))
+        .collect()
+    }
+    b = {
+        r["doc_id"]: r["sig"]
+        for r in df.select("doc_id", DD.minhash_signature("text").alias("sig")).collect()
+    }
+    assert a == b
+
+
 def test_minhash_identical_docs_identical_sigs(spark):
     sigs = {r["doc_id"]: r["sig"] for r in DD.minhash_signatures_df(_docs(spark)).collect()}
     assert sigs[1] == sigs[4]
