@@ -251,24 +251,49 @@ def ngram_jaccard_pairs(
     from lab_flink_repository_analytics_spark.session import rebalance
 
     # tokenize once per doc BEFORE the self-join — token arrays are computed
-    # O(docs) times instead of O(pairs) times
+    # O(docs) times instead of O(pairs) times; the set size is staged
+    # alongside so the union size is per-pair ARITHMETIC, not a second
+    # per-pair array materialization: |A∪B| = |A| + |B| − |A∩B| exactly
+    # (both sides are distinct arrays), so the jaccard double is
+    # bit-identical to the array_union form
     sel = rebalance(docs).select(
         F.col(id_col).alias("id"),
         F.array_distinct(tokens(text_col)).alias("toks"),
         *block_cols,
     )
+    sel = sel.select("*", F.size("toks").alias("nt"))
     left, right = sel.alias("l"), sel.alias("r")
     cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols] + [
         F.col("l.id") < F.col("r.id")
     ]
     joined = left.join(right, on=cond)
     inter = F.size(F.array_intersect(F.col("l.toks"), F.col("r.toks")))
-    union = F.size(F.array_union(F.col("l.toks"), F.col("r.toks")))
+    union = F.col("l.nt") + F.col("r.nt") - inter
+    jaccard = inter.cast("double") / union
+    if min_jaccard > 0.0:
+        # size-ratio precondition: J = |∩|/|∪| ≤ min(n)/max(n), so a pair
+        # whose set sizes differ by more than the threshold ratio can
+        # never qualify.  Wrapping the jaccard in the guard (instead of
+        # appending a separate conjunct) makes the O(tokens) intersect
+        # CONDITIONAL on the cheap size check — as a separate join
+        # conjunct Catalyst ordered it after the pushed-down jaccard
+        # predicate, which defeated the short-circuit.  Guarded-NULL rows
+        # are exactly the rows the ≥ τ filter drops, so the surviving
+        # pair set and values are unchanged.  The 1e-9 slack keeps the
+        # guard strictly conservative under double rounding (a pair it
+        # NULLs satisfies min/max < τ − 1e-9, hence jaccard < τ in both
+        # real and double arithmetic).
+        jaccard = F.when(
+            F.least(F.col("l.nt"), F.col("r.nt")).cast("double")
+            >= F.lit(min_jaccard - 1e-9)
+            * F.greatest(F.col("l.nt"), F.col("r.nt")),
+            jaccard,
+        )
     return (
         joined.select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            (inter.cast("double") / union).alias("jaccard"),
+            jaccard.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )

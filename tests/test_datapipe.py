@@ -89,6 +89,47 @@ def test_jaccard_pairs(spark):
     assert vals[(4, 5)] == 0.0
 
 
+def test_jaccard_arithmetic_union_matches_array_union(spark):
+    # the arithmetic union (|A|+|B|−|A∩B|) must be BIT-identical to the
+    # array_union form, and the τ>0 size-ratio prejoin filter must not
+    # change the surviving pair set (it only prunes pairs that cannot
+    # reach τ)
+    from pyspark.sql import functions as F
+
+    df = _docs(spark)
+    for tau in (0.0, 0.5, 7 / 9):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in DD.ngram_jaccard_pairs(df, ["source"], min_jaccard=tau).collect()
+        }
+        sel = df.select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(DD.tokens("text")).alias("toks"),
+            "source",
+        )
+        ref = (
+            sel.alias("l")
+            .join(
+                sel.alias("r"),
+                on=[
+                    F.col("l.source") == F.col("r.source"),
+                    F.col("l.id") < F.col("r.id"),
+                ],
+            )
+            .select(
+                F.col("l.id").alias("id_a"),
+                F.col("r.id").alias("id_b"),
+                (
+                    F.size(F.array_intersect("l.toks", "r.toks")).cast("double")
+                    / F.size(F.array_union("l.toks", "r.toks"))
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= tau)
+        )
+        want = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ref.collect()}
+        assert got == want
+
+
 def test_cosine_and_topk(spark):
     rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])]
     emb = spark.createDataFrame(rows, "vec_id: int, embedding: array<float>")
