@@ -1043,6 +1043,19 @@ def _cos_sql(a: str, b: str) -> str:
     return f"{_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)})"
 
 
+def _cos_split_sql(a: str, b: str) -> str:
+    """Cosine in the SPLIT-PARTIALS order of the width-pinned Spark
+    scoring path (similarity._staged_cosine / semdedup's pair scan —
+    ``flat_dot(parts=COSINE_SPLIT_PARTS)`` for the pair dot AND both
+    norms): the oracle twin of every ``dim=EMBEDDING_DIM`` cosine site.
+    The fold-order ``_cos_sql`` stays for the assignment cosines
+    (_inline_assignments still folds)."""
+    return (
+        f"{_dot_split_sql(a, b)} / "
+        f"(sqrt({_dot_split_sql(a, a)}) * sqrt({_dot_split_sql(b, b)}))"
+    )
+
+
 _RANKED_TAIL_SQL = """
 ranked AS (
   SELECT query_id, neighbor_id, score,
@@ -1058,14 +1071,16 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for query vectors (vec_id < 5)."""
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
-    return SIM.brute_force_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)
+    return SIM.brute_force_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=10, dim=EMBEDDING_DIM
+    )
 
 
 ANN_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
 scored AS (
-  SELECT query_id, neighbor_id, {_cos_sql("qv", "cv")} AS score
+  SELECT query_id, neighbor_id, {_cos_split_sql("qv", "cv")} AS score
   FROM q, c WHERE query_id <> neighbor_id
 ), {_RANKED_TAIL_SQL}
 """
@@ -1167,7 +1182,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
     return SIM.lsh_topk(
-        emb.filter(F.col("vec_id") < 5), emb, k=10, nbits=ANN_LSH_NBITS
+        emb.filter(F.col("vec_id") < 5),
+        emb,
+        k=10,
+        nbits=ANN_LSH_NBITS,
+        dim=EMBEDDING_DIM,
     )
 
 
@@ -1190,7 +1209,7 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 eb AS (SELECT vec_id, v, {_lsh_bucket_sql("v", ANN_LSH_NBITS)} AS bucket FROM e),
 q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id < 5),
 scored AS (
-  SELECT query_id, c.vec_id AS neighbor_id, {_cos_sql("qv", "c.v")} AS score
+  SELECT query_id, c.vec_id AS neighbor_id, {_cos_split_sql("qv", "c.v")} AS score
   FROM q JOIN eb c ON q.bucket = c.bucket AND q.query_id <> c.vec_id
 ), {_RANKED_TAIL_SQL}
 """
@@ -1263,7 +1282,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t["embeddings"]
     cents = SIM.sampled_centroids(emb, IVF_NLISTS)
     return SIM.ivf_topk(
-        emb.filter(F.col("vec_id") < 5), emb, cents, k=10, nprobe=IVF_NPROBE
+        emb.filter(F.col("vec_id") < 5),
+        emb,
+        cents,
+        k=10,
+        nprobe=IVF_NPROBE,
+        dim=EMBEDDING_DIM,
     )
 
 
@@ -1281,7 +1305,7 @@ pairs AS (
 probes AS (SELECT vec_id AS query_id, v AS qv, cid FROM asg
            WHERE rn <= {IVF_NPROBE} AND vec_id < 5),
 scored AS (
-  SELECT query_id, neighbor_id, {_cos_sql("qv", "cv2")} AS score
+  SELECT query_id, neighbor_id, {_cos_split_sql("qv", "cv2")} AS score
   FROM probes JOIN cand USING (cid) WHERE query_id <> neighbor_id
 ), {_RANKED_TAIL_SQL}
 """
@@ -1351,7 +1375,7 @@ a1 AS (
 dropped AS (
   SELECT DISTINCT hi.vec_id
   FROM a1 lo JOIN a1 hi ON lo.cluster_id = hi.cluster_id AND lo.vec_id < hi.vec_id
-  WHERE round({_cos_sql("lo.v", "hi.v")}, 6) >= {SEMDEDUP_TAU}
+  WHERE round({_cos_split_sql("lo.v", "hi.v")}, 6) >= {SEMDEDUP_TAU}
 )
 SELECT a1.vec_id, a1.cluster_id,
        (d.vec_id IS NULL) AS keep
@@ -1480,8 +1504,10 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (query_id, n_true, n_hits, recall)."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     q = emb.filter(F.col("vec_id") < 5)
-    bf = SIM.brute_force_topk(q, emb, k=10).select("query_id", "neighbor_id")
-    lsh = SIM.lsh_topk(q, emb, k=10, nbits=ANN_LSH_NBITS).select(
+    bf = SIM.brute_force_topk(q, emb, k=10, dim=EMBEDDING_DIM).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = SIM.lsh_topk(q, emb, k=10, nbits=ANN_LSH_NBITS, dim=EMBEDDING_DIM).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
     return (
@@ -1511,7 +1537,7 @@ def _ann_recall_sql() -> str:
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
 bscored AS (
-  SELECT query_id, c.vec_id AS neighbor_id, {_cos_sql("qv", "c.v")} AS score
+  SELECT query_id, c.vec_id AS neighbor_id, {_cos_split_sql("qv", "c.v")} AS score
   FROM q, e c WHERE query_id <> c.vec_id
 ),
 b AS (SELECT query_id, neighbor_id FROM
@@ -1519,7 +1545,7 @@ b AS (SELECT query_id, neighbor_id FROM
 eb AS (SELECT vec_id, v, {_lsh_bucket_sql("v", ANN_LSH_NBITS)} AS bucket FROM e),
 ql AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id < 5),
 lscored AS (
-  SELECT query_id, c.vec_id AS neighbor_id, {_cos_sql("qv", "c.v")} AS score
+  SELECT query_id, c.vec_id AS neighbor_id, {_cos_split_sql("qv", "c.v")} AS score
   FROM ql JOIN eb c ON ql.bucket = c.bucket AND ql.query_id <> c.vec_id
 ),
 l AS (SELECT query_id, neighbor_id, 1 AS hit FROM
@@ -1733,7 +1759,9 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowest-id init, exact-decimal centroid means — deterministic enough
     that the DuckDB oracle unrolls the same two iterations in SQL."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    return SIM.kmeans_lloyd_df(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    return SIM.kmeans_lloyd_df(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS, dim=EMBEDDING_DIM
+    )
 
 
 def _kmeans_sql() -> str:
@@ -1785,14 +1813,16 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query vector (vec_id < 5), the 5 most-similar DIFFERENT-label
     candidates — the near-boundary negatives a contrastive trainer mines."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    return SIM.hard_negatives(emb.filter(F.col("vec_id") < 5), emb, k=HARD_NEG_K)
+    return SIM.hard_negatives(
+        emb.filter(F.col("vec_id") < 5), emb, k=HARD_NEG_K, dim=EMBEDDING_DIM
+    )
 
 
 HARD_NEG_SQL = f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e WHERE vec_id < 5),
 scored AS (
-  SELECT query_id, c.vec_id AS neg_id, {_cos_sql("qv", "c.v")} AS score
+  SELECT query_id, c.vec_id AS neg_id, {_cos_split_sql("qv", "c.v")} AS score
   FROM q JOIN e c ON q.qlabel <> c.label
 ), ranked AS (
   SELECT query_id, neg_id, score,

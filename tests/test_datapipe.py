@@ -147,6 +147,45 @@ def test_lsh_bucket_deterministic_and_bounded(spark):
     b = {r["vec_id"]: r["b"] for r in emb.select("vec_id", SIM.lsh_bucket("embedding").alias("b")).collect()}
     assert a == b
     assert all(0 <= v < 2**SIM.LSH_NBITS for v in a.values())
+    # the dim-pinned unrolled codegen form must bucket identically to the
+    # interpreted fold form
+    c = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id", SIM.lsh_bucket("embedding", dim=8).alias("b")
+        ).collect()
+    }
+    assert c == a
+
+
+def test_topk_dim_pinned_matches_fold_form(spark):
+    # staged-norm + flat_dot scoring (dim pinned) must reproduce the
+    # fold-form cosine output exactly for every topk variant
+    rows = [
+        (i, [((i * 13 + j * 5) % 9) / 4.0 - 1.0 for j in range(6)], f"l{i % 3}")
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id: int, embedding: array<float>, label: string"
+    )
+    q = emb.filter(F.col("vec_id") < 4)
+
+    def rows_of(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows_of(SIM.brute_force_topk(q, emb, k=5, dim=6)) == rows_of(
+        SIM.brute_force_topk(q, emb, k=5)
+    )
+    assert rows_of(SIM.lsh_topk(q, emb, k=5, dim=6)) == rows_of(
+        SIM.lsh_topk(q, emb, k=5)
+    )
+    cents = SIM.sampled_centroids(emb, 4)
+    assert rows_of(SIM.ivf_topk(q, emb, cents, k=5, dim=6)) == rows_of(
+        SIM.ivf_topk(q, emb, cents, k=5)
+    )
+    assert rows_of(SIM.hard_negatives(q, emb, k=5, dim=6)) == rows_of(
+        SIM.hard_negatives(q, emb, k=5)
+    )
 
 
 def test_text_metrics(spark):
@@ -721,6 +760,26 @@ def test_kmeans_lloyd_separates_directions_and_is_deterministic(spark):
         for r in SIM.kmeans_lloyd_df(emb.repartition(7), k=2, iters=2).collect()
     }
     assert again == got
+
+
+def test_kmeans_fixed_dim_update_matches_explode_form(spark):
+    # the dim-pinned flat-sum centroid update must assign identically to
+    # the generic posexplode update — decimal sums are grouping-exact and
+    # the division/round expressions are the same
+    rows = [
+        (i, [((i * 7 + d * 3) % 11) / 10.0 + 0.1 for d in range(5)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    generic = {
+        r["vec_id"]: r["cluster_id"]
+        for r in SIM.kmeans_lloyd_df(emb, k=3, iters=2).collect()
+    }
+    pinned = {
+        r["vec_id"]: r["cluster_id"]
+        for r in SIM.kmeans_lloyd_df(emb, k=3, iters=2, dim=5).collect()
+    }
+    assert pinned == generic
 
 
 def test_windowed_dedup_keeps_first_per_window(spark):

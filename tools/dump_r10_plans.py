@@ -40,6 +40,13 @@ QUERIES = [
     "bpe_merges",
     "bpe_token_counts",
     "bpe_fertility_by_source",
+    "jaccard_blocked_pairs",
+    "lsh_dedup_eval",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_recall_eval",
+    "hard_negative_mining",
+    "kmeans_clusters",
 ]
 
 
