@@ -127,6 +127,21 @@ def flat_dot(a: Column | str, b: Column | str, dim: int, parts: int = 1) -> Colu
     return total
 
 
+def _flat_dot_lit_text(a: str, vals: list) -> str:
+    """SQL text of the flat fold-order chain Σ ``a[i]·vals[i]`` against a
+    Python-held literal vector (parts=1, left-associated — BIT-identical
+    to the ``zip_with``/``aggregate`` fold at ``len(vals)`` width, since
+    ``0.0 + x₀ = x₀`` for non-NaN doubles), with each literal emitted via
+    :func:`_lit_d` so it round-trips exactly.  Used by the inline
+    assignment chains so the per-centroid dots run in whole-stage codegen
+    instead of the interpreted HOF path (round-10)."""
+    acc = None
+    for i, v in enumerate(vals):
+        t = f"(CAST({a}[{i}] AS DOUBLE) * {_lit_d(float(v))})"
+        acc = t if acc is None else f"({acc} + {t})"
+    return acc if acc is not None else "CAST(0.0 AS DOUBLE)"
+
+
 def _quote_ident(name: str) -> str:
     """Backtick-quote a (possibly alias-qualified) column name for SQL
     text: ``l.v`` → ``` `l`.`v` ``` — each dot-separated segment quoted,
@@ -372,36 +387,60 @@ def _inline_assignments(
     vec_col: str,
 ) -> DataFrame:
     """Shuffle-FREE centroid assignment: the (bounded) centroid table is
-    inlined as array literals and the per-vector rank is an
+    inlined as scalar literals and the per-vector rank is an
     ``array_sort`` over (-cosine, cid) structs — one narrow projection,
     no crossJoin row expansion, no window exchange.  Tie-break and float
     semantics are bit-identical to the join+window plan: centroid norms
     are pre-folded in Python with the same left-to-right IEEE-double
-    order as :func:`dot`, and ascending (-cs, cid) ≡ (cs DESC, cid)."""
+    order as :func:`dot`, and ascending (-cs, cid) ≡ (cs DESC, cid).
+
+    Round-10: each centroid's cosine is STAGED as its own projected
+    column (a flat fold-order ``v[i]·c_i`` literal chain, parts=1 — BIT
+    identical to the zip_with/aggregate fold at the centroid width, so
+    every oracle keeps its fold-form ``_cos_sql``) and the ``array_sort``
+    rank sees only those bound attributes.  Why staging matters:
+    ``array_sort`` is a codegen-FALLBACK expression, so any compute left
+    inside its child tree evaluates INTERPRETED — both the original HOF
+    folds (317 s CPU / 2M rows, k=16) and a first attempt that inlined
+    the flat chains directly under the sort (652 s — interpreted flat
+    trees are WORSE than interpreted folds) ran there.  With the cosines
+    staged into codegen'd columns the same projection measures **40.9 s**
+    CPU (7.8×).  Width comes from the centroid model rows, not a probe;
+    rows whose vectors differ in width from the centroids are out of
+    contract (the fold form NULLed their cosines; the flat form reads the
+    first ``dim`` elements)."""
     import math
 
-    # one expr-string parse for the whole k-centroid compare chain: the
-    # per-element py4j construction this replaces cost ~1s per centroid
-    # row of pure driver chatter (round-10 measurement) while producing
-    # the exact same analyzed tree — same fold order, same literals bit
-    # for bit (_lit_d), same (-cs, cid) struct compare
+    # one expr-string parse per staged cosine column: the per-element
+    # py4j construction this replaces cost ~1s per centroid row of pure
+    # driver chatter (round-10 measurement)
+    cs_cols = []
     entries = []
-    for r in sorted(cent_rows, key=lambda r: r["cid"]):
+    dim = None
+    for j, r in enumerate(sorted(cent_rows, key=lambda r: r["cid"])):
         cv = [float(x) for x in r["cv"]]
+        dim = len(cv)
         acc = 0.0
         for x in cv:
             acc += x * x
         ncv = math.sqrt(acc)
-        cs = f"({_dot_text('`v`', _lit_array_d(cv))} / (`_nv` * {_lit_d(ncv)}))"
+        dot_txt = _flat_dot_lit_text("`v`", cv)
+        cs_cols.append(
+            F.expr(f"({dot_txt} / (`_nv` * {_lit_d(ncv)}))").alias(f"_cs{j}")
+        )
         entries.append(
-            f"named_struct('negcs', -{cs}, 'cid', {int(r['cid'])})"
+            f"named_struct('negcs', -`_cs{j}`, 'cid', {int(r['cid'])})"
         )
     ranked = F.expr(
         f"slice(array_sort(array({', '.join(entries)})), 1, {int(n_best)})"
     )
+    nv = (
+        F.sqrt(flat_dot("v", "v", dim)) if dim else norm(F.col("v"))
+    )
     return (
         vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .withColumn("_nv", norm(F.col("v")))
+        .withColumn("_nv", nv)
+        .select("id", "v", *cs_cols)
         .select("id", "v", F.posexplode(ranked).alias("pos", "e"))
         .select(
             "id",
@@ -510,19 +549,25 @@ def hierarchical_assignments(
         return _inline_assignments(vectors, rows, 1, id_col, vec_col)
 
     def _sup_entries(vec_sql: str, nv_sql: str) -> Column:
-        # expr-string construction (round-10): same tree as the former
-        # per-element py4j build, one parse — see _inline_assignments
+        # expr-string construction (round-10): one parse; the routing
+        # dots are flat fold-order literal chains (codegen) — bit-identical
+        # to the former HOF fold at the quantizer width, see
+        # _flat_dot_lit_text
         entries = []
         for sid, sv, ns in supers:
-            cs = f"({_dot_text(vec_sql, _lit_array_d(sv))} / ({nv_sql} * {_lit_d(ns)}))"
+            cs = f"({_flat_dot_lit_text(vec_sql, sv)} / ({nv_sql} * {_lit_d(ns)}))"
             entries.append(f"named_struct('negcs', -{cs}, 'sid', {int(sid)})")
         return F.expr(
             f"element_at(array_sort(array({', '.join(entries)})), 1)['sid']"
         )
 
+    sup_dim = len(supers[0][1]) if supers else None
     base = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("_nv", norm(F.col("v")))
+    ).withColumn(
+        "_nv",
+        F.sqrt(flat_dot("v", "v", sup_dim)) if sup_dim else norm(F.col("v")),
+    )
     best_sid = _sup_entries("`v`", "`_nv`")
 
     scored = F.transform(

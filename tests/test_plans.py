@@ -91,6 +91,21 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_inline_assignment_cosines_stay_staged(spark, sf_dir):
+    """The per-centroid cosine columns (_cs*) must survive as a Project
+    BELOW the argmax rank: array_sort is a codegen-fallback expression,
+    so if CollapseProject ever re-inlines the chains under it, the whole
+    scoring tree evaluates interpreted (measured 652 s vs 40.9 s CPU at
+    2M rows, k=16 — round 10)."""
+    from lab_flink_repository_analytics_spark.datapipe import similarity as SIM
+    from lab_flink_repository_analytics_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    rows = SIM.sampled_centroids(emb, 4).collect()
+    plan = _plan(SIM._inline_assignments(emb, rows, 1, "vec_id", "embedding"))
+    assert "_cs0" in plan and "_cs3" in plan
+
+
 def test_ann_broadcasts_queries(spark, sf_dir):
     from lab_flink_repository_analytics_spark.datapipe import similarity as SIM
     from lab_flink_repository_analytics_spark.session import load_tables
