@@ -792,6 +792,7 @@ def group_centroids(
     vectors: DataFrame,
     group_cols: list[str],
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Mean-pool vector aggregation: the per-group centroid of an embedding
     column (class prototypes, per-language anchors, cluster summaries).
@@ -803,8 +804,41 @@ def group_centroids(
     partitioning; the final per-dim mean is rounded to 6 decimals.  The
     sorted-struct collect rebuilds the ARRAY<DOUBLE> centroid without a
     second exchange (same grouping key prefix).
+
+    With ``dim`` pinned by the caller's table contract (round-10, same
+    shape as mean_pairwise_cosine's fixed-width path): ``dim`` flat
+    decimal SUMs + one COUNT in a SINGLE per-group HashAggregate — no
+    Generate multiplying rows ×dim before the partial agg, no second
+    aggregation.  Bit-identical within the contract (decimal sums are
+    grouping-exact; per-(group, pos) count ≡ per-group non-null row count
+    at uniform width; same division/round).  NULL vectors are excluded in
+    both forms; empty/ragged vectors are out of contract.
     """
     gs = [F.col(g) for g in group_cols]
+    if dim is not None:
+        g = (
+            vectors.where(F.col(vec_col).isNotNull())
+            .groupBy(*group_cols)
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(
+                        F.get(vec_col, d).cast("double").cast("decimal(30,15)")
+                    ).alias(f"_s{d}")
+                    for d in range(dim)
+                ],
+            )
+        )
+        return g.select(
+            *group_cols,
+            F.array(
+                *[
+                    F.round(F.col(f"_s{d}").cast("double") / F.col("_n"), 6)
+                    for d in range(dim)
+                ]
+            ).alias("centroid"),
+            F.col("_n").alias("n_vectors"),
+        )
     ex = vectors.select(
         *gs, F.posexplode(F.col(vec_col)).alias("pos", "x")
     )

@@ -2615,7 +2615,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # graded projection: serialize the DOUBLE[] centroid as fixed-point
     # decimal strings (to_json formats doubles differently in Spark vs
     # DuckDB — 1.0E-6 vs 0.000001 — so a decimal cast is the stable form)
-    return SIM.group_centroids(emb, ["label"]).select(
+    return SIM.group_centroids(emb, ["label"], dim=EMBEDDING_DIM).select(
         "label",
         F.expr(
             "array_join(transform(centroid,"

@@ -762,6 +762,25 @@ def test_kmeans_lloyd_separates_directions_and_is_deterministic(spark):
     assert again == got
 
 
+def test_group_centroids_fixed_dim_matches_explode_form(spark):
+    rows = [
+        (i, f"l{i % 3}", [((i * 11 + d * 7) % 13) / 6.0 - 1.0 for d in range(5)])
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, label string, embedding array<double>"
+    )
+    generic = {
+        r["label"]: (list(r["centroid"]), r["n_vectors"])
+        for r in SIM.group_centroids(emb, ["label"]).collect()
+    }
+    pinned = {
+        r["label"]: (list(r["centroid"]), r["n_vectors"])
+        for r in SIM.group_centroids(emb, ["label"], dim=5).collect()
+    }
+    assert pinned == generic
+
+
 def test_kmeans_fixed_dim_update_matches_explode_form(spark):
     # the dim-pinned flat-sum centroid update must assign identically to
     # the generic posexplode update — decimal sums are grouping-exact and

@@ -47,6 +47,7 @@ QUERIES = [
     "ann_recall_eval",
     "hard_negative_mining",
     "kmeans_clusters",
+    "label_centroids",
 ]
 
 
