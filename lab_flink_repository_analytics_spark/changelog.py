@@ -59,15 +59,32 @@ def materialize_multiset(df: DataFrame, kind_col: str = "kind") -> DataFrame:
     times (0 or negative → dropped, matching Flink's multiset retraction).
     """
     value_cols = [c for c in df.columns if c != kind_col]
-    net = (
-        df.groupBy(*value_cols)
-        .agg(F.sum(_sign(F.col(kind_col))).alias("_net"))
-        .filter(F.col("_net") > 0)
-    )
+    net = materialize_multiset_counts(df, kind_col)
     return net.select(
         *value_cols,
         F.explode(F.array_repeat(F.lit(1), F.col("_net").cast("int"))).alias("_i"),
     ).drop("_i")
+
+
+def materialize_multiset_counts(
+    df: DataFrame, kind_col: str = "kind"
+) -> DataFrame:
+    """Net multiset of an un-keyed changelog as ``(value_cols..., _net)``
+    — the multiplicity column instead of exploded rows.
+
+    Equivalent to counting :func:`materialize_multiset` grouped by the
+    value columns (``_net`` IS that count), minus the explode that
+    amplifies back to changelog volume and the second aggregation pass
+    that re-collapses it.  Use it whenever the consumer re-groups by the
+    full value tuple; keep :func:`materialize_multiset` when downstream
+    needs actual rows (joins, projections, per-row scoring).
+    """
+    value_cols = [c for c in df.columns if c != kind_col]
+    return (
+        df.groupBy(*value_cols)
+        .agg(F.sum(_sign(F.col(kind_col))).alias("_net"))
+        .filter(F.col("_net") > 0)
+    )
 
 
 def materialize_upserts(

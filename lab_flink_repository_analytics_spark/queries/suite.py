@@ -1849,10 +1849,12 @@ def changelog_net_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("-U").alias("kind"), "user_id", "event_type")
     )
     ch = adds.unionByName(retracts)
-    return (
-        CL.materialize_multiset(ch)
-        .groupBy("user_id", "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
+    # the count per (user, type) over the materialized multiset IS the net
+    # multiplicity — materialize_multiset_counts skips the explode back to
+    # changelog volume + the second aggregation pass (round-10, guide §2.4;
+    # pinned ≡ explode-then-count by test_changelog.py)
+    return CL.materialize_multiset_counts(ch).select(
+        "user_id", "event_type", F.col("_net").alias("n")
     )
 
 

@@ -84,6 +84,34 @@ def test_multiset_random_changelogs_match_simulation(spark):
     assert got == Counter({k: v for k, v in expected.items() if v > 0})
 
 
+def test_multiset_counts_equal_explode_then_count(spark):
+    """materialize_multiset_counts(df)._net ≡ count(*) of
+    materialize_multiset(df) grouped by the full value tuple — the
+    changelog_net_counts query rides this identity (round-10 opt: no
+    explode back to changelog volume, no second aggregation)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (rng.choice(["+I", "+I", "+U", "-U", "-D"]),
+         rng.choice(["a", "b", "c"]), rng.randint(1, 4))
+        for _ in range(200)
+    ]
+    df = _cdf(spark, rows)
+    via_explode = {
+        (r["name"], r["age"]): r["n"]
+        for r in CL.materialize_multiset(df)
+        .groupBy("name", "age")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    via_counts = {
+        (r["name"], r["age"]): r["_net"]
+        for r in CL.materialize_multiset_counts(df).collect()
+    }
+    assert via_counts == via_explode
+
+
 # ---------------------------------------------------------------------------
 # RowKind EMISSION parity: replay the reference's changelog fixtures and
 # assert the emitted +I/-D/-U/+U stream itself, not just the folded state

@@ -48,6 +48,7 @@ QUERIES = [
     "hard_negative_mining",
     "kmeans_clusters",
     "label_centroids",
+    "changelog_net_counts",
 ]
 
 
