@@ -78,6 +78,19 @@ def main():
     canary_start = run_canary(spark)
     items = list(suite.queries().items())
     times: dict[str, float] = {}
+    # shared derived-state accounting (round 11): whichever query first
+    # needs a session-shared build (LSH candidate pairs, doc-term tf,
+    # BPE model, ...) pays it inside its own latency; report each build
+    # as an explicit "_shared:<name>" pseudo-entry so the 6 sharing
+    # queries' numbers stay comparable across rounds.  Additions-only:
+    # every pre-existing field keeps its meaning, and sum_sec still sums
+    # REAL query latencies (shared time is already inside them — adding
+    # the pseudo-entries would double-count).
+    from lab_flink_repository_analytics_spark.session import (
+        derived_build_seconds,
+    )
+
+    shared_before = derived_build_seconds()
     wall0 = time.time()
     if par <= 1:
         for item in items:
@@ -89,6 +102,12 @@ def main():
                 times[name] = round(dt, 3)
     wall = time.time() - wall0
     canary_end = run_canary(spark)
+    sum_sec = round(sum(times.values()), 3)
+    n_real = len(times)
+    for name, dt in derived_build_seconds().items():
+        delta = dt - shared_before.get(name, 0.0)
+        if delta > 0.0005:
+            times[f"_shared:{name}"] = round(delta, 3)
 
     summary = {
         "metric": "suite_total_runtime",
@@ -97,7 +116,7 @@ def main():
         "queries": times,
         "sf": sf,
         "parallelism": par,
-        "sum_sec": round(sum(times.values()), 3),
+        "sum_sec": sum_sec,
         "canary_start": canary_start,
         "canary_end": canary_end,
     }
@@ -121,7 +140,8 @@ def main():
     compact = dict(summary)
     compact["queries"] = {}
     compact["full_map"] = "BENCH_SUMMARY.json"
-    compact["n_queries"] = len(times)
+    compact["n_queries"] = n_real
+    compact["n_shared"] = len(times) - n_real
     for name, dt in sorted(times.items(), key=lambda kv: -kv[1]):
         compact["queries"][name] = dt
         if len(json.dumps(compact)) > budget:

@@ -78,8 +78,17 @@ def materialize_multiset_counts(
     that re-collapses it.  Use it whenever the consumer re-groups by the
     full value tuple; keep :func:`materialize_multiset` when downstream
     needs actual rows (joins, projections, per-row scoring).
+
+    ``_net`` is a RESERVED output column name: a changelog whose value
+    columns already include ``_net`` would collide with the multiplicity
+    alias (ambiguous column), so it is rejected up front.
     """
     value_cols = [c for c in df.columns if c != kind_col]
+    if "_net" in value_cols:
+        raise ValueError(
+            "materialize_multiset_counts: '_net' is reserved for the "
+            "multiplicity column; rename the input column"
+        )
     return (
         df.groupBy(*value_cols)
         .agg(F.sum(_sign(F.col(kind_col))).alias("_net"))

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import threading
+import time
 from collections.abc import Mapping
 
 from pyspark.sql import SparkSession
@@ -213,6 +214,11 @@ def persist_bounded(df, slot: str, storage_level=None):
 
 #: session-scoped derived-state memo (see derived_state)
 _DERIVED_MEMO: dict[tuple[str, str, str], "object"] = {}
+#: wall-clock seconds spent INSIDE each derived-state build(), keyed by
+#: state name — read by bench.py to charge shared builds to explicit
+#: ``_shared:<name>`` pseudo-entries (the triggering query's latency
+#: already contains this time; the pseudo-entry makes it attributable)
+_DERIVED_BUILD_SECONDS: dict[str, float] = {}
 _DERIVED_KEY_LOCKS: dict[tuple[str, str, str], "object"] = {}
 #: initialized at import — a lazily-created guard is itself a race
 _DERIVED_GUARD = threading.Lock()
@@ -266,9 +272,14 @@ def derived_state(spark: SparkSession, name: str, sf_dir: str, build):
         with _DERIVED_GUARD:
             if key in _DERIVED_MEMO:
                 return _DERIVED_MEMO[key]
+        _t0 = time.time()
         out = build()
+        _dt = time.time() - _t0
         evicted = []
         with _DERIVED_GUARD:
+            _DERIVED_BUILD_SECONDS[name] = (
+                _DERIVED_BUILD_SECONDS.get(name, 0.0) + _dt
+            )
             while len(_DERIVED_MEMO) >= _DERIVED_MEMO_CAP:
                 oldest = next(iter(_DERIVED_MEMO))
                 evicted.append(_DERIVED_MEMO.pop(oldest))
@@ -290,6 +301,17 @@ def reset_derived_state() -> None:
         # (app, name, sf_dir) triples) so there is nothing to reclaim
     for v in values:
         _maybe_release(v)
+
+
+def derived_build_seconds() -> dict[str, float]:
+    """Snapshot of wall-clock seconds spent inside each derived-state
+    build() so far this process, keyed by state name.  bench.py diffs two
+    snapshots around the timed suite and reports ``_shared:<name>``
+    pseudo-entries — the per-query latencies of the queries that SHARE a
+    build regain standalone meaning (whichever query runs first pays the
+    build inside its own latency; the pseudo-entry says how much)."""
+    with _DERIVED_GUARD:
+        return dict(_DERIVED_BUILD_SECONDS)
 
 
 def release_persist_slots() -> None:

