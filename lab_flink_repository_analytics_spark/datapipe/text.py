@@ -227,6 +227,7 @@ def repetition_metrics_df(
     docs,
     text_col: str = "text",
     id_col: str = "doc_id",
+    doc_bi=None,
 ):
     """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
     uses duplicate-n-gram fractions as corpus-quality filters):
@@ -244,6 +245,17 @@ def repetition_metrics_df(
     below the exploded size on repetitive (i.e. interesting) documents.
     Docs with fewer than two tokens report zero bigrams and a 0.0
     duplicate fraction.
+
+    ``doc_bi``: a caller holding the session-shared
+    :func:`doc_bigram_counts_df` table passes it here and the bigram half
+    collapses to one per-doc rollup of the already-counted distinct
+    (doc, w1, w2, cnt) rows — the corpus bigram explode runs ONCE for
+    every bigram consumer in the session instead of once per query.  On
+    single-space-normalized text (the `tokens()` contract, pinned by
+    test_gram_strings_tokens_contract_on_messy_whitespace) the split
+    pairs are exactly the lookahead-regex grams, and tokens contain no
+    spaces, so (w1, w2) ↔ "w1 w2" is a bijection and the per-doc
+    sum/count are identical to the inline regex build.
     """
     from lab_flink_repository_analytics_spark.session import rebalance
 
@@ -265,16 +277,26 @@ def repetition_metrics_df(
             F.sum("c").alias("n_tokens"),
         )
     )
-    bs = (
-        base.select(F.col(id_col).alias("id"), F.explode(bigrams).alias("bg"))
-        .groupBy("id", "bg")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("id")
-        .agg(
-            F.sum("c").alias("n_bigrams"),
-            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+    if doc_bi is not None:
+        bs = (
+            doc_bi.filter(F.col("w1").isNotNull())
+            .groupBy(F.col("doc_id").alias("id"))
+            .agg(
+                F.sum("cnt").alias("n_bigrams"),
+                F.count(F.lit(1)).alias("n_distinct_bigrams"),
+            )
         )
-    )
+    else:
+        bs = (
+            base.select(F.col(id_col).alias("id"), F.explode(bigrams).alias("bg"))
+            .groupBy("id", "bg")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("id")
+            .agg(
+                F.sum("c").alias("n_bigrams"),
+                F.count(F.lit(1)).alias("n_distinct_bigrams"),
+            )
+        )
     joined = ws.join(bs, "id", "left")
     n_bigrams = F.coalesce(F.col("n_bigrams"), F.lit(0))
     n_dist = F.coalesce(F.col("n_distinct_bigrams"), F.lit(0))
@@ -456,30 +478,26 @@ def boilerplate_gram_stats_df(
     )
 
 
-def bigram_logprob_scores_df(
-    docs,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    alpha: int = 1,
-    head_k: int = 65536,
-):
-    """Self-perplexity proxy: score every document under a word-bigram LM
-    fitted on the corpus itself (the KenLM-style quality signal of
-    CCNet/DSIR, with the corpus as its own reference model).
+def doc_bigram_counts_df(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Distinct doc-bigram multiplicities ``(doc_id, w1, w2, cnt)`` —
+    the shared upstream of every bigram consumer (the bigram LM scorer,
+    the repetition metrics).  Docs with < 2 tokens contribute ONE row
+    with ``w1 = w2 = NULL`` (``explode_outer``) so scorers can left-join
+    back without a separate doc scan.
 
-    ``score = avg over bigrams of -ln P(w2 | w1)`` with add-``alpha``
-    smoothing over the corpus vocabulary; lower = more typical text.
-
-    Scale shape: exploded bigram POSITIONS are immediately pre-aggregated
-    to (doc, w1, w2, multiplicity) — natural text repeats bigrams heavily,
-    so every later stage (the corpus bigram counts derived by a second
-    rollup of the same table, the model join keyed on the gram, the
-    per-doc sum weighted by multiplicity) moves distinct doc-bigrams, not
-    positions.  The count tables are NEVER collected or broadcast (at
-    100 TB the bigram table is data-scale).  Per-log terms are summed in
-    DECIMAL (nll × multiplicity is exact decimal×int) so the per-doc
-    average is order-independent across partitions.  Output:
-    (doc_id, n_bigrams, avg_neg_logprob).
+    The counted table is hash-repartitioned by ``(w1, w2)`` before the
+    caller persists it (round-11, guide §2.4): the LM's corpus bigram
+    rollup (``groupBy(w1, w2)``), the model build on top of it, and the
+    (w1, w2)-keyed scoring join all REUSE this one exchange instead of
+    re-shuffling the distinct-bigram table once each — and inside one
+    query execution the repeated consumers collapse to ReusedExchange.
+    (w1, w2) rather than the w1 the verdict sketched: a single hot head
+    TOKEN ("the") would own one partition at corpus scale, while the
+    hottest bigram key is bounded by document frequency — the same key
+    distribution the old per-consumer exchanges already had.  Positions
+    are still pre-aggregated BEFORE this shuffle (map-side partials on
+    (doc, w1, w2)), so the repartition moves distinct rows, not
+    positions.
     """
     from lab_flink_repository_analytics_spark.session import rebalance
 
@@ -500,12 +518,6 @@ def bigram_logprob_scores_df(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    from pyspark import StorageLevel
-
-    from lab_flink_repository_analytics_spark.session import persist_bounded
-
-    # consumed three times (corpus bigram counts, vocab size, per-doc
-    # scoring join) — persist so the bigram explode pass runs once.
     # Round-10 note: this site keeps the struct-transform form
     # DELIBERATELY — the gram_strings regex rewrite that won 2-9× for
     # k>=3 (where md5 consumes the concatenated gram anyway) measured
@@ -513,7 +525,7 @@ def bigram_logprob_scores_df(
     # capture allocates a concatenated "w1 w2" string per position that
     # substring_index must then re-parse twice, while the struct form
     # reuses the token strings untouched.
-    doc_bi = persist_bounded(
+    return (
         rebalance(docs)
         .select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks"))
         .select(
@@ -524,10 +536,58 @@ def bigram_logprob_scores_df(
         # positions → multiplicities: the ONLY stage that touches every
         # bigram occurrence; everything downstream moves distinct pairs
         .groupBy("doc_id", "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("cnt")),
-        "text.bigram.docbi",
-        StorageLevel.MEMORY_AND_DISK,
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .repartition("w1", "w2")
     )
+
+
+def bigram_logprob_scores_df(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: int = 1,
+    head_k: int = 65536,
+    doc_bi=None,
+    doc_bi_count: int | None = None,
+):
+    """Self-perplexity proxy: score every document under a word-bigram LM
+    fitted on the corpus itself (the KenLM-style quality signal of
+    CCNet/DSIR, with the corpus as its own reference model).
+
+    ``score = avg over bigrams of -ln P(w2 | w1)`` with add-``alpha``
+    smoothing over the corpus vocabulary; lower = more typical text.
+
+    Scale shape: exploded bigram POSITIONS are immediately pre-aggregated
+    to (doc, w1, w2, multiplicity) — natural text repeats bigrams heavily,
+    so every later stage (the corpus bigram counts derived by a second
+    rollup of the same table, the model join keyed on the gram, the
+    per-doc sum weighted by multiplicity) moves distinct doc-bigrams, not
+    positions.  The count tables are NEVER collected or broadcast (at
+    100 TB the bigram table is data-scale).  Per-log terms are summed in
+    DECIMAL (nll × multiplicity is exact decimal×int) so the per-doc
+    average is order-independent across partitions.  Output:
+    (doc_id, n_bigrams, avg_neg_logprob).
+
+    ``doc_bi``: a caller that already materialized
+    :func:`doc_bigram_counts_df` (e.g. session-shared state also feeding
+    the repetition metrics) passes it here to skip the build;
+    ``doc_bi_count`` is its row count if the caller has it (skips the
+    Zipf-gate count job).  The frame must be persisted (NOT
+    localCheckpoint-ed — a checkpointed LogicalRDD reports
+    UnknownPartitioning and the (w1, w2) co-partitioning is lost).
+    """
+    if doc_bi is None:
+        from pyspark import StorageLevel
+
+        from lab_flink_repository_analytics_spark.session import persist_bounded
+
+        # consumed three times (corpus bigram counts, vocab size, per-doc
+        # scoring join) — persist so the bigram explode pass runs once.
+        doc_bi = persist_bounded(
+            doc_bigram_counts_df(docs, text_col=text_col, id_col=id_col),
+            "text.bigram.docbi",
+            StorageLevel.MEMORY_AND_DISK,
+        )
 
     bi_counts = (
         doc_bi.filter(F.col("w1").isNotNull())
@@ -559,7 +619,8 @@ def bigram_logprob_scores_df(
     # skew splitting never has to chase the head keys at 100×.  Below the
     # gate the whole model fits a single healthy shuffle join and the
     # two-branch union would cost more than it saves.
-    if doc_bi.count() > 32 * head_k:
+    n_doc_bi = doc_bi_count if doc_bi_count is not None else doc_bi.count()
+    if n_doc_bi > 32 * head_k:
         head = F.broadcast(
             model.orderBy(F.desc("c12"), "w1", "w2")
             .limit(head_k)

@@ -2453,9 +2453,13 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
 def ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document
     (datapipe/text.py::repetition_metrics_df): top-word fraction and
-    duplicate-bigram fraction."""
+    duplicate-bigram fraction.  The bigram half reads the session-shared
+    doc-bigram multiplicity table also consumed by bigram_lm_scores
+    (round-11): one corpus bigram explode per session instead of two."""
     docs = load_tables(spark, sf_dir)["documents"]
-    return TX.repetition_metrics_df(docs)
+    return TX.repetition_metrics_df(
+        docs, doc_bi=AX._doc_bigrams(spark, sf_dir)["df"]
+    )
 
 
 NGRAM_REPETITION_SQL = """

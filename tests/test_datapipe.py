@@ -757,6 +757,39 @@ def test_gram_strings_tokens_contract_on_messy_whitespace(spark):
         assert g == split_grams(nt), (doc_id, nt)
 
 
+def test_repetition_metrics_shared_doc_bi_equivalent(spark):
+    # round-11: ngram_repetition's bigram half can read the session-shared
+    # doc-bigram multiplicity table (doc_bigram_counts_df) instead of
+    # re-exploding the corpus.  Pin element-for-element equivalence of the
+    # two paths on contract text, including short docs (0 bigrams) and
+    # heavy repetition.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # repeated bigrams
+            (2, "x"),                # < 2 tokens: n_bigrams 0
+            (3, ""),                 # empty text: split -> [''], 1 token
+            (4, "p q r s p q"),      # mixed
+            (5, "t t t t t t t t"),  # single repeated token
+        ],
+        "doc_id bigint, text string",
+    )
+    inline = {
+        r["doc_id"]: r.asDict() for r in TX.repetition_metrics_df(docs).collect()
+    }
+    doc_bi = TX.doc_bigram_counts_df(docs)
+    shared = {
+        r["doc_id"]: r.asDict()
+        for r in TX.repetition_metrics_df(docs, doc_bi=doc_bi).collect()
+    }
+    assert inline == shared
+    # and the shared table itself: one NULL row per short doc, exact
+    # multiplicities elsewhere
+    rows = {(r["doc_id"], r["w1"], r["w2"]): r["cnt"] for r in doc_bi.collect()}
+    assert rows[(1, "a", "b")] == 3 and rows[(1, "b", "a")] == 2
+    assert rows[(2, None, None)] == 1 and rows[(3, None, None)] == 1
+    assert rows[(5, "t", "t")] == 7
+
+
 def test_boilerplate_gram_stats(spark):
     # "a b c" occurs in 3 docs (min_docs=3 → boilerplate); doc 4 is clean
     docs = spark.createDataFrame(
