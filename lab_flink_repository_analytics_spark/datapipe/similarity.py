@@ -142,6 +142,85 @@ def _flat_dot_lit_text(a: str, vals: list) -> str:
     return acc if acc is not None else "CAST(0.0 AS DOUBLE)"
 
 
+def _flat_dot_lit_split_text(col: str, vals: list, parts: int) -> str:
+    """SQL text of the SPLIT-PARTIALS :func:`flat_dot` chain with one side
+    a Python-held literal vector: same grouping and left-associated order
+    as :func:`_flat_dot_text` (literal side in the ``a`` position), each
+    literal emitted exactly via :func:`_lit_d`.  IEEE multiplication is
+    commutative bit-for-bit, so folding the cast-literal into the term
+    changes nothing; the SUM order is pinned by the parentheses."""
+    col = _quote_ident(col)
+    dim = len(vals)
+    chunk = -(-dim // parts)
+    groups: list[str] = []
+    for start in range(0, dim, chunk):
+        acc = None
+        for i in range(start, min(start + chunk, dim)):
+            t = f"({_lit_d(float(vals[i]))} * CAST({col}[{i}] AS DOUBLE))"
+            acc = t if acc is None else f"({acc} + {t})"
+        groups.append(acc)
+    total = groups[0]
+    for g in groups[1:]:
+        total = f"({total} + {g})"
+    return total
+
+
+def _flat_dot_py(a, b, dim: int, parts: int) -> float:
+    """Python-float mirror of :func:`flat_dot`'s split-partials order.
+    Python floats ARE IEEE doubles and + / * are the same correctly-
+    rounded operations the JVM executes, so evaluating the identical
+    left-associated sequence here is bit-identical to evaluating the
+    staged expression on an executor — what lets a driver-held query
+    vector's norm be inlined as a literal."""
+    parts = max(1, min(parts, dim))
+    chunk = -(-dim // parts)
+    partials: list[float] = []
+    for start in range(0, dim, chunk):
+        acc = None
+        for i in range(start, min(start + chunk, dim)):
+            t = float(a[i]) * float(b[i])
+            acc = t if acc is None else acc + t
+        partials.append(acc)
+    total = partials[0]
+    for p in partials[1:]:
+        total = total + p
+    return total
+
+
+#: bounded-query-set gate for the inlined ANN scoring paths: a probe set
+#: this small is driver-held model state (k-means centroid precedent),
+#: and inlining it turns the non-equi broadcast join + interpreted
+#: per-pair projection into ONE codegen scan projection.  Above the gate
+#: the generic join path is kept (an unbounded query side must never be
+#: collected).
+ANN_INLINE_MAX = 64
+
+
+def _collect_inline_queries(
+    q: DataFrame, cols: list[str], vec_col: str, dim: int
+) -> list | None:
+    """Collect a BOUNDED query side for literal inlining, or ``None`` to
+    keep the generic join path: more than :data:`ANN_INLINE_MAX` rows, a
+    NULL / wrong-width vector (the literal mirror needs the pinned
+    width), or a non-finite component (engine literal spellings differ).
+    Rows come back sorted by the first column (the id) so expression
+    construction is deterministic."""
+    rows = q.select(*cols).limit(ANN_INLINE_MAX + 1).collect()
+    if len(rows) > ANN_INLINE_MAX or not rows:
+        return None
+    import math
+
+    for r in rows:
+        if r[0] is None:
+            return None
+        v = r[vec_col]
+        if v is None or len(v) != dim:
+            return None
+        if any(x is None or not math.isfinite(x) for x in v):
+            return None
+    return sorted(rows, key=lambda r: r[0])
+
+
 def _quote_ident(name: str) -> str:
     """Backtick-quote a (possibly alias-qualified) column name for SQL
     text: ``l.v`` → ``` `l`.`v` ``` — each dot-separated segment quoted,
@@ -205,6 +284,266 @@ def _staged_cosine(
     return qs, cs, score
 
 
+def _np_flat_dot(V, W, dim: int, parts: int):
+    """NumPy mirror of :func:`flat_dot`'s split-partials order over row
+    matrices ``V``/``W`` of shape (n, dim): every multiply and add is an
+    ELEMENTWISE ufunc call in the exact left-associated sequence the
+    staged expression executes per row, so the result vector is
+    bit-identical to the JVM evaluation.  (Deliberately NOT np.dot /
+    np.add.reduce — both use pairwise/SIMD summation with a different,
+    version-dependent order.)"""
+    chunk = -(-dim // parts)
+    partials = []
+    for start in range(0, dim, chunk):
+        acc = None
+        for i in range(start, min(start + chunk, dim)):
+            t = V[:, i] * W[:, i]
+            acc = t if acc is None else acc + t
+        partials.append(acc)
+    total = partials[0]
+    for p in partials[1:]:
+        total = total + p
+    return total
+
+
+def _lsh_bucket_py(v, nbits: int, dim: int) -> int:
+    """Driver-Python mirror of :func:`_lsh_bucket_text` for one vector —
+    same left-fold order, and Spark's comparison rule for the sign test
+    (NaN compares greater than 0, unlike IEEE/NumPy)."""
+    import math
+
+    out = 0
+    for b in range(nbits):
+        acc = None
+        for i in range(dim):
+            sgn = 1.0 if (i * (2 * b + 3) + b * 7) % 4 < 2 else -1.0
+            t = float(v[i]) * sgn
+            acc = t if acc is None else acc + t
+        if acc > 0 or math.isnan(acc):
+            out += 1 << b
+    return out
+
+
+def _lsh_bucket_np(V, nbits: int, dim: int):
+    """NumPy mirror of :func:`_lsh_bucket_text` over a row matrix: per
+    bit one left-folded elementwise ±column sum, bit-identical to the
+    expression for finite inputs (rows containing non-finite values are
+    the caller's job — Spark's NaN-greatest comparison differs from
+    IEEE)."""
+    import numpy as np
+
+    n = V.shape[0]
+    buck = np.zeros(n, dtype=np.int64)
+    for b in range(nbits):
+        acc = None
+        for i in range(dim):
+            t = V[:, i] * (1.0 if (i * (2 * b + 3) + b * 7) % 4 < 2 else -1.0)
+            acc = t if acc is None else acc + t
+        buck += np.where(acc > 0, 1 << b, 0)
+    return buck
+
+
+def _inline_scored(
+    c,
+    rows,
+    dim: int,
+    with_label: bool = False,
+    prune_k: int | None = None,
+    prune_self: bool = False,
+    nbits: int | None = None,
+    qbuckets: list | None = None,
+):
+    """(query_id, neighbor_id[, nlabel], score[, qlabel]) of a BOUNDED
+    driver-held query set against the candidate frame ``c`` (columns
+    ``neighbor_id``, ``cv``[, ``nlabel``]).
+
+    Scoring runs in a ``mapInArrow`` batch function: candidate vectors
+    arrive as one contiguous Arrow buffer, reshape zero-copy to (n, dim),
+    and the per-query cosines evaluate as ~dim elementwise NumPy ops in
+    :func:`flat_dot`'s exact split-partials order (guide §4.2 — hand
+    whole batches to vectorized native code).  Why not the codegen
+    expression form: a 64-term×8-part chain per query compiles into
+    generated methods so large that HotSpot either never JITs them or
+    JITs them only after several executions — measured at the 100×
+    replica: 38-75 s executor CPU on the execution a bench actually
+    pays, vs ~a second of NumPy loops for the identical arithmetic.
+    Rows violating the width contract degrade instead of erroring:
+    NULL vector, any NULL element among the first ``dim``, or fewer
+    than ``dim`` elements → NULL score; a zero-norm vector → NaN; extra
+    elements beyond ``dim`` are ignored.  (The ANSI expression path
+    this replaces RAISED on short and zero-norm vectors —
+    INVALID_ARRAY_INDEX / DIVIDE_BY_ZERO — so none of these rows were
+    inside its contract either; on contract data the two paths are
+    bit-identical, pinned by
+    test_inline_arrow_scorer_bit_identical_to_expression_path.)
+
+    ``prune_k``: when set, each batch emits only its local top-k rows
+    per query under the consumer's exact total order (score DESC with
+    NaN greatest — Spark's double ordering — then neighbor_id ASC),
+    after applying the consumer's own pair filters (``prune_self`` drops
+    the self pair; ``with_label`` + ``prune_k`` drops same-label pairs
+    exactly like the NULL-safe inequality).  The global top-k is a
+    subset of the union of batch-local top-ks under the same total
+    order, and the downstream window recomputes exact ranks, so results
+    are independent of batching.  Batches carrying contract-violating
+    rows (NULL scores possible) skip pruning entirely — NULL ordering
+    stays the window's job."""
+    import math
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    p = COSINE_SPLIT_PARTS
+    queries = [
+        (
+            r[0],
+            [float(x) for x in r[1]],
+            math.sqrt(_flat_dot_py(r[1], r[1], dim, p)),
+            (r[2] if with_label else None),
+        )
+        for r in rows
+    ]
+    in_schema = c.schema
+    id_field = in_schema["neighbor_id"]
+    out_fields = [
+        StructField("query_id", id_field.dataType, True),
+        StructField("neighbor_id", id_field.dataType, id_field.nullable),
+    ]
+    if with_label:
+        nl = in_schema["nlabel"]
+        out_fields.append(StructField("nlabel", nl.dataType, True))
+        out_fields.append(StructField("qlabel", nl.dataType, True))
+    out_fields.append(StructField("score", DoubleType(), True))
+    out_schema = StructType(out_fields)
+
+    def score_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            names = b.schema.names
+            i_id = names.index("neighbor_id")
+            i_cv = names.index("cv")
+            ids = b.column(i_id)
+            cv = b.column(i_cv)
+            nlab = b.column(names.index("nlabel")) if with_label else None
+            # fast path: no NULL vectors and every row exactly `dim` wide
+            # → the list values are one contiguous buffer, reshape free
+            flat = None
+            if cv.null_count == 0:
+                vals = cv.combine_chunks().flatten() if isinstance(
+                    cv, pa.ChunkedArray
+                ) else cv.flatten()
+                if len(vals) == n * dim and vals.null_count == 0:
+                    flat = vals.to_numpy(zero_copy_only=False)
+            if flat is not None:
+                V = flat.reshape(n, dim)
+                bad = None
+            else:
+                # contract-violating batch (NULL/ragged/short rows):
+                # densify with the expression path's NULL rule
+                V = np.zeros((n, dim), dtype=np.float64)
+                bad = np.zeros(n, dtype=bool)
+                for j, row in enumerate(cv.to_pylist()):
+                    if (
+                        row is None
+                        or len(row) < dim
+                        or any(x is None for x in row[:dim])
+                    ):
+                        bad[j] = True
+                    else:
+                        V[j, :] = row[:dim]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                nc = np.sqrt(_np_flat_dot(V, V, dim, p))
+                scores = []
+                for qid, qv, nq, qlabel in queries:
+                    Q = np.broadcast_to(
+                        np.asarray(qv, dtype=np.float64), (n, dim)
+                    )
+                    scores.append(_np_flat_dot(Q, V, dim, p) / (nq * nc))
+            mask = bad if bad is not None and bad.any() else None
+            ids_np = None
+            try:
+                ids_np = ids.to_numpy(zero_copy_only=False)
+            except Exception:
+                ids_np = None  # non-numeric ids: no pruning/self filter
+            buck = None
+            if nbits is not None:
+                # join-on-bucket semantics inside the batch: rows emit
+                # only for queries whose bucket matches; a contract-bad
+                # row has a NULL bucket in the expression form and never
+                # matches; Spark's NaN-greatest sign test is mirrored
+                # per-row for non-finite vectors
+                buck = _lsh_bucket_np(V, nbits, dim)
+                nonfin = ~np.isfinite(V).all(axis=1)
+                if bad is not None:
+                    nonfin &= ~bad
+                for j in np.flatnonzero(nonfin):
+                    buck[j] = _lsh_bucket_py(V[j], nbits, dim)
+                if bad is not None:
+                    buck[bad] = -1
+            for qi, ((qid, qv, nq, qlabel), score) in enumerate(
+                zip(queries, scores)
+            ):
+                sel = None
+                can_prune = prune_k is not None and ids_np is not None and (
+                    mask is None or buck is not None
+                )
+                if buck is not None or can_prune:
+                    keep = np.ones(n, dtype=bool)
+                    if buck is not None:
+                        keep &= buck == qbuckets[qi]
+                    if prune_self and qid is not None and ids_np is not None:
+                        keep &= ids_np != qid
+                    if with_label:
+                        import pyarrow.compute as pc
+
+                        if qlabel is None:
+                            keep[:] = False
+                        else:
+                            eq = pc.equal(nlab, pa.scalar(qlabel, nlab.type))
+                            ne = pc.fill_null(pc.invert(eq), False)
+                            keep &= ne.to_numpy(zero_copy_only=False)
+                    idx = np.flatnonzero(keep)
+                    if can_prune and idx.size > prune_k:
+                        s = score[idx]
+                        nan = np.isnan(s)
+                        order = np.lexsort(
+                            (ids_np[idx], np.where(nan, 0.0, -s), ~nan)
+                        )
+                        idx = idx[order[:prune_k]]
+                    sel = pa.array(idx)
+                take = (lambda a: a.take(sel)) if sel is not None else (
+                    lambda a: a
+                )
+                m = len(sel) if sel is not None else n
+                cols = [
+                    pa.array(np.full(m, qid), type=pa.int64()).cast(ids.type)
+                    if qid is not None
+                    else pa.nulls(m, ids.type),
+                    take(ids),
+                ]
+                if with_label:
+                    cols.append(take(nlab))
+                    cols.append(
+                        pa.nulls(m, nlab.type)
+                        if qlabel is None
+                        else pa.array([qlabel] * m).cast(nlab.type)
+                    )
+                cols.append(
+                    take(pa.array(score, mask=mask))
+                    if sel is not None
+                    else pa.array(score, mask=mask)
+                )
+                yield pa.RecordBatch.from_arrays(
+                    cols, names=[f.name for f in out_fields]
+                )
+
+    return c.mapInArrow(score_batches, out_schema)
+
+
 def brute_force_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -223,13 +562,51 @@ def brute_force_topk(
     """
     from lab_flink_repository_analytics_spark.session import rebalance
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
     # the broadcast join keeps the probe side's partitioning, so a narrow
     # local candidate scan must spread BEFORE the per-row scoring pass
     c = rebalance(candidates).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+
+    def ranked(scored):
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.col("rank").cast("int").alias("rank"),
+                F.round("score", 6).alias("cos_sim"),
+            )
+        )
+
+    rows = (
+        _collect_inline_queries(queries, [id_col, vec_col], vec_col, dim)
+        if dim is not None
+        else None
+    )
+    if rows is not None:
+        # Inlined bounded-query path (round-11): the cross join's
+        # BroadcastNestedLoopJoin multiplied rows before scoring and the
+        # giant per-pair expression hit the JIT's huge-method cliff on
+        # the execution a bench actually pays (see _inline_scored).
+        # With the query set driver-held, scoring is one vectorized
+        # Arrow pass over the candidate scan — no join at all — and
+        # bit-identical: the NumPy dot mirrors flat_dot's split order op
+        # for op, the query norm is the same IEEE sequence, and the self
+        # pair is filtered after scoring exactly as the join condition
+        # filtered it before.
+        scored = _inline_scored(c, rows, dim, prune_k=k, prune_self=True)
+        return ranked(
+            scored.filter(F.col("query_id") != F.col("neighbor_id")).select(
+                "query_id", "neighbor_id", "score"
+            )
+        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
     q, c, score = _staged_cosine(q, c, "qv", "cv", dim)
     scored = (
@@ -242,19 +619,7 @@ def brute_force_topk(
             score.alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("rank").cast("int").alias("rank"),
-            F.round("score", 6).alias("cos_sim"),
-        )
-    )
+    return ranked(scored)
 
 
 # Fixed hyperplane seed constants for LSH bucketing (engine-portable:
@@ -756,6 +1121,55 @@ def lsh_topk(
     pinned by the caller's table contract, bucketing and scoring run as
     codegen (see :func:`lsh_bucket` / :func:`_staged_cosine`).
     """
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+
+    def ranked(scored):
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.col("rank").cast("int").alias("rank"),
+                F.round("score", 6).alias("cos_sim"),
+            )
+        )
+
+    rows = (
+        _collect_inline_queries(queries, [id_col, vec_col], vec_col, dim)
+        if dim is not None
+        else None
+    )
+    if rows is not None:
+        # Inlined bounded-query path (round-11): candidate bucketing ran
+        # the 8-bit unrolled projection expression over EVERY candidate
+        # row — the same generated-code JIT cliff as the pair scoring
+        # (ann_recall_eval spent 60 s executor CPU here at the 100×
+        # replica's first execution).  The Arrow scorer computes buckets
+        # and scores in one vectorized pass; the bucket-equality join
+        # becomes the per-query bucket mask (bit-identical: same fold
+        # order, Spark's NaN-greatest sign rule mirrored, NULL-bucket
+        # rows never match).
+        c = candidates.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
+        qb = [_lsh_bucket_py(r[1], nbits, dim) for r in rows]
+        scored = _inline_scored(
+            c,
+            rows,
+            dim,
+            prune_k=k,
+            prune_self=True,
+            nbits=nbits,
+            qbuckets=qb,
+        )
+        return ranked(
+            scored.filter(F.col("query_id") != F.col("neighbor_id")).select(
+                "query_id", "neighbor_id", "score"
+            )
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -773,19 +1187,7 @@ def lsh_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", score.alias("score"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("rank").cast("int").alias("rank"),
-            F.round("score", 6).alias("cos_sim"),
-        )
-    )
+    return ranked(scored)
 
 
 def group_centroids(
@@ -1066,15 +1468,61 @@ def hard_negatives(
     """
     from lab_flink_repository_analytics_spark.session import rebalance
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.col(label_col).alias("qlabel"),
-    )
     c = rebalance(candidates).select(
         F.col(id_col).alias("neg_id"),
         F.col(vec_col).alias("cv"),
         F.col(label_col).alias("nlabel"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neg_id"))
+
+    def ranked(scored):
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "neg_id",
+                F.col("rank").cast("int").alias("rank"),
+                F.round("score", 6).alias("cos_sim"),
+            )
+        )
+
+    rows = (
+        _collect_inline_queries(
+            queries, [id_col, vec_col, label_col], vec_col, dim
+        )
+        if dim is not None
+        else None
+    )
+    if rows is not None:
+        # Inlined bounded-query path (round-11): the label-inequality
+        # join is a BroadcastNestedLoopJoin that multiplied rows before
+        # the giant per-pair score expression, which pays the JIT
+        # huge-method cliff on first execution (measured at the 10×
+        # replica: 4.14 s r9 fold → 9.34 s r10 flat executor CPU).  The
+        # vectorized Arrow scorer (see _inline_scored) is bit-identical
+        # and stable; the label filter applies after scoring with
+        # identical null semantics (NOT(NULL = x) dropped the pair in
+        # the join; NULL qlabel != x drops it here).
+        scored = _inline_scored(
+            c.withColumnRenamed("neg_id", "neighbor_id"),
+            rows,
+            dim,
+            with_label=True,
+            prune_k=k,
+        )
+        return ranked(
+            scored.filter(F.col("qlabel") != F.col("nlabel"))
+            .select(
+                "query_id",
+                F.col("neighbor_id").alias("neg_id"),
+                "score",
+            )
+        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("qlabel"),
     )
     q, c, score = _staged_cosine(q, c, "qv", "cv", dim)
     scored = (
@@ -1082,17 +1530,7 @@ def hard_negatives(
         .join(c, F.col("qlabel") != F.col("nlabel"))
         .select("query_id", "neg_id", score.alias("score"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neg_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neg_id",
-            F.col("rank").cast("int").alias("rank"),
-            F.round("score", 6).alias("cos_sim"),
-        )
-    )
+    return ranked(scored)
 
 
 def kmeans_lloyd_df(

