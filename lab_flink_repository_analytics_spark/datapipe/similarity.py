@@ -1318,6 +1318,111 @@ def quantization_error(vec: Column | str, quant: Column) -> Column:
     )
 
 
+def _round6_ge_cut(threshold: float) -> float:
+    """Smallest double ``t`` such that ``cs >= t`` (IEEE double compare)
+    ⟺ ``double(round_half_up(cs, 6)) >= double(threshold)`` — Spark's
+    ``F.round(cs, 6) >= lit(threshold)`` predicate, reduced to one raw
+    double comparison so a vectorized scorer can apply it without
+    per-pair decimal arithmetic.  Derivation: the smallest 6-decimal
+    value k·1e-6 whose double is >= the threshold's double, minus the
+    half-up tie 5e-7, lifted to the smallest double at-or-above that
+    decimal cut.  Positive thresholds only (half-up rounds positives
+    away from zero)."""
+    import math
+    from decimal import Decimal
+
+    if not threshold > 0:
+        raise ValueError("positive threshold required")
+    td = Decimal(threshold)
+    k = int(td * 10**6)  # floor
+    if float(Decimal(k) / Decimal(10**6)) < threshold:
+        k += 1
+    cut = Decimal(k) / Decimal(10**6) - Decimal("0.0000005")
+    t = float(cut)
+    if Decimal(t) < cut:
+        t = math.nextafter(t, math.inf)
+    return t
+
+
+def _semdedup_dropped_arrow(asg, dim: int, threshold: float, id_col: str):
+    """Within-cluster SemDeDup drop set as ONE grouped Arrow pass
+    (guide §4.2): per cluster, the pairwise split-partials cosine matrix
+    evaluates as ~dim elementwise outer-product accumulations in NumPy —
+    bit-identical order to the staged expression the cluster self-join
+    evaluated per pair — and a vector is dropped when any LOWER-id row
+    clears the threshold (the exact ``F.round(cs,6) >= threshold``
+    predicate via :func:`_round6_ge_cut`, with Spark's NaN-greatest
+    comparison mirrored).  Ships each vector ONCE (the self-join shipped
+    every pair) and replaces the generated per-pair expression that paid
+    the huge-method JIT cliff on first execution (measured 24.7 s
+    executor CPU at sf0.1, ~12 s steady, for ~13M pairs).
+
+    Caller contract (the ``dim`` gate): every vector non-NULL and
+    exactly ``dim`` wide — semdedup only takes this path after its
+    min==max width probe."""
+    import math as _math
+
+    from pyspark.sql.types import StructField, StructType
+
+    p = COSINE_SPLIT_PARTS
+    cut = _round6_ge_cut(threshold)
+    out_schema = StructType([StructField("id", asg.schema["id"].dataType)])
+
+    def dropped_of_group(table):
+        import numpy as np
+        import pyarrow as pa
+
+        tbl = table.combine_chunks()
+        id_type = tbl.schema.field("id").type
+        ids = tbl.column("id").to_numpy(zero_copy_only=False)
+        m = len(ids)
+        if m < 2:
+            return pa.table({"id": pa.array([], type=id_type)})
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = (
+            tbl.column("v").chunk(0).flatten()
+            .to_numpy(zero_copy_only=False).reshape(m, dim)
+        )[order]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            norm = np.sqrt(_np_flat_dot(V, V, dim, p))
+            dropped = np.zeros(m, dtype=bool)
+            chunk = -(-dim // p)
+            # row blocks bound the (block × m) pair matrix; each block
+            # accumulates the same left-associated partial order as
+            # flat_dot, elementwise over the block
+            bs = max(1, min(m, 4_194_304 // m))
+            for s in range(0, m - 1, bs):
+                e = min(s + bs, m)
+                B = V[s:e]
+                partials = []
+                for start in range(0, dim, chunk):
+                    acc = None
+                    for d in range(start, min(start + chunk, dim)):
+                        t = np.multiply.outer(B[:, d], V[:, d])
+                        acc = t if acc is None else acc + t
+                    partials.append(acc)
+                P = partials[0]
+                for q in partials[1:]:
+                    P = P + q
+                cs = P / np.multiply.outer(norm[s:e], norm)
+                hit = (cs >= cut) | np.isnan(cs)  # Spark: NaN >= t
+                # pair rule: lo strictly below hi in ascending-id order
+                lo_rank = np.arange(s, e)[:, None]
+                hi_rank = np.arange(m)[None, :]
+                dropped |= (hit & (lo_rank < hi_rank)).any(axis=0)
+        return pa.table({"id": pa.array(ids[dropped]).cast(id_type)})
+
+    # no .distinct(): each id lives in exactly one cluster group and the
+    # group function emits it at most once (the old pair join needed the
+    # dedup because id_hi matched many id_lo rows)
+    return (
+        asg.select("cluster_id", "id", "v")
+        .groupBy("cluster_id")
+        .applyInArrow(dropped_of_group, out_schema)
+    )
+
+
 def semdedup(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -1400,28 +1505,17 @@ def semdedup(
         and dim_row["lo"] == dim_row["hi"]
         else None
     )
-    if dim is not None:
-        # split-partials order (COSINE_SPLIT_PARTS) — round-10: the p=1
-        # chain codegens as one 64-deep spine and measured 13× the CPU of
-        # the p=8 shape at 10M pairs (211 s vs 15.8 s); the SEMDEDUP
-        # oracle mirrors the split order via _dot_split_sql
-        p = COSINE_SPLIT_PARTS
-        withn = asg.withColumn("_n", F.sqrt(flat_dot("v", "v", dim, parts=p)))
-        a = withn.select(
-            F.col("id").alias("id_lo"),
-            F.col("v").alias("v_lo"),
-            F.col("_n").alias("n_lo"),
-            "cluster_id",
-        )
-        b = withn.select(
-            F.col("id").alias("id_hi"),
-            F.col("v").alias("v_hi"),
-            F.col("_n").alias("n_hi"),
-            "cluster_id",
-        )
-        cs = flat_dot("v_lo", "v_hi", dim, parts=p) / (
-            F.col("n_lo") * F.col("n_hi")
-        )
+    if dim is not None and threshold > 0:
+        # round-11 (guide §4.2): the within-cluster pair scan runs as ONE
+        # grouped Arrow pass — each vector ships once instead of once per
+        # pair, the split-partials cosine evaluates as vectorized NumPy
+        # in the identical IEEE order, and the generated per-pair
+        # expression that paid the huge-method JIT cliff on first
+        # execution (24.7 s executor CPU at sf0.1; ~12 s steady) is out
+        # of the plan.  The r10 staged-expression join remains below as
+        # the ragged-width fallback; the oracle (_dot_split_sql mirror)
+        # is unchanged because the values are bit-identical.
+        dropped = _semdedup_dropped_arrow(asg, dim, threshold, id_col)
     else:  # empty input (shape-only plan) or ragged widths: fold cosine
         a = asg.select(
             F.col("id").alias("id_lo"), F.col("v").alias("v_lo"), "cluster_id"
@@ -1430,13 +1524,13 @@ def semdedup(
             F.col("id").alias("id_hi"), F.col("v").alias("v_hi"), "cluster_id"
         )
         cs = cosine("v_lo", "v_hi")
-    dropped = (
-        a.join(b, "cluster_id")
-        .filter(F.col("id_lo") < F.col("id_hi"))
-        .filter(F.round(cs, 6) >= F.lit(threshold))
-        .select(F.col("id_hi").alias("id"))
-        .distinct()
-    )
+        dropped = (
+            a.join(b, "cluster_id")
+            .filter(F.col("id_lo") < F.col("id_hi"))
+            .filter(F.round(cs, 6) >= F.lit(threshold))
+            .select(F.col("id_hi").alias("id"))
+            .distinct()
+        )
     return (
         asg.join(dropped.withColumn("dropped", F.lit(True)), "id", "left")
         .select(
